@@ -1,0 +1,189 @@
+"""Benchmark harness (driver contract + scaling evidence).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "throughput_mseq_per_sec": ..., "scaling": {...}}
+
+Two parts:
+
+1. Headline engine queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+   local[$SPARK_GRAFT_CPUS] — the per-round driver numbers.
+2. Scale/efficiency evidence (north rule: >=0.8 efficiency N -> 4N
+   executors): the SAME cascade job (parquet scan of a deterministic
+   spark.range-generated token table — no external data — then the
+   raw→1h→1d→1mo continuous-aggregate cascade) at local[8] and local[32];
+   reports throughput at both and efficiency = (T32/T8)/4 into
+   BENCH/BASELINE.md. Each parallelism level runs in a FRESH subprocess
+   (own JVM — no shared-GC contamination), 4 runs, min.
+
+The bench table uses a 30-day time span so rows-per-(source,hour) bucket
+(~1.6k at 24M rows) is on the 10^12-scale side of the density spectrum where
+partial aggregation genuinely reduces before the shuffle; the sparse 3-year
+fixture density (~40/bucket) makes the 1h tier artificially shuffle-bound.
+
+Skip the scaling part with SPARK_GRAFT_SCALING=0.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SYNTH_ROWS = int(os.environ.get("SPARK_GRAFT_SYNTH_ROWS", "24000000"))
+DO_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+BENCH_TABLE = f"/tmp/ingestr_bench_tokens_{SYNTH_ROWS}"
+# this sandbox is a VM on a shared host: wall-clock per run swings 2-4x with
+# host load; min over several runs approximates the uncontended figure
+PROBE_RUNS = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "6"))
+
+HEADLINE = [
+    "rollup_1d",
+    "rollup_1mo_cascade",
+    "rollup_1d_salted",
+    "gapfill_locf_1d",
+    "gapfill_linear_1d",
+    "tokens_invariant",
+    "events_rollup_1h",
+]
+
+
+def run_headline(spark) -> dict[str, float]:
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).count()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def ensure_bench_table(spark) -> None:
+    """Deterministic bench input: 24M sequences, arrays capped at 128 tokens,
+    30-day span. Cached across invocations (same rows every time — datagen is
+    pure integer arithmetic)."""
+    if os.path.exists(f"{BENCH_TABLE}/_SUCCESS"):
+        return
+    from ingestr_spark.datagen import synth_tokens
+
+    tok = synth_tokens(
+        spark, SYNTH_ROWS, partitions=128, max_ntok=128, span_seconds=30 * 86400
+    )
+    tok.write.mode("overwrite").parquet(BENCH_TABLE)
+
+
+def _probe_child(cores: int) -> None:
+    """Child-process mode: time the scan→cascade job at local[cores]."""
+    from ingestr_spark.operators.rollup import build_all_tiers
+    from ingestr_spark.session import get_spark
+
+    spark = get_spark(
+        f"bench-scale-{cores}", master=f"local[{cores}]",
+        shuffle_partitions=2 * cores, extra_conf={"spark.ui.enabled": "false"},
+    )
+    best = float("inf")
+    for _ in range(PROBE_RUNS):
+        t0 = time.time()
+        df = spark.read.parquet(BENCH_TABLE)
+        build_all_tiers(df, ("1h", "1d", "1mo"))["1mo"].count()
+        best = min(best, time.time() - t0)
+    spark.stop()
+    print(f"PROBE_RESULT {best:.4f}")
+
+
+def run_scaling() -> dict:
+    res: dict = {"synth_rows": SYNTH_ROWS, "probe_runs_min_of": PROBE_RUNS}
+    for cores in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--probe", str(cores)],
+            capture_output=True, text=True, cwd=REPO, timeout=600,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("PROBE_RESULT")]
+        if not line:
+            raise RuntimeError(f"probe local[{cores}] failed: {out.stderr[-2000:]}")
+        secs = float(line[0].split()[1])
+        res[f"local{cores}"] = {
+            "sec": round(secs, 3),
+            "mseq_per_sec": round(SYNTH_ROWS / secs / 1e6, 3),
+        }
+    t8, t32 = res["local8"]["mseq_per_sec"], res["local32"]["mseq_per_sec"]
+    res["efficiency_8_to_32"] = round((t32 / t8) / 4, 3)
+    return res
+
+
+def write_bench_md(scaling: dict, queries: dict[str, float]) -> None:
+    os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+    lines = [
+        "# BENCH — measured numbers (this sandbox: 32-CPU single-JVM local mode)",
+        "",
+        "## Scaling evidence (north rule: efficiency >= 0.8 from N to 4N executors)",
+        "",
+        f"Identical job — parquet scan of a deterministic {scaling['synth_rows']:,}-sequence",
+        "token table → raw→1h→1d→1mo continuous-aggregate cascade — at two",
+        "parallelism levels, each in a fresh JVM, min of "
+        f"{scaling['probe_runs_min_of']} runs:",
+        "",
+        "| parallelism | wall (s) | throughput (Mseq/s) |",
+        "|---|---|---|",
+        f"| local[8]  (N)  | {scaling['local8']['sec']} | {scaling['local8']['mseq_per_sec']} |",
+        f"| local[32] (4N) | {scaling['local32']['sec']} | {scaling['local32']['mseq_per_sec']} |",
+        "",
+        f"**Scaling efficiency (8→32 threads) = {scaling['efficiency_8_to_32']}**",
+        "",
+        f"## Headline queries at {SF_DIR} (local[{CPUS}])",
+        "",
+        "| query | sec |",
+        "|---|---|",
+    ]
+    lines += [f"| {k} | {v} |" for k, v in queries.items()]
+    lines.append("")
+    with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
+        f.write("\n".join(lines))
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--probe":
+        _probe_child(int(sys.argv[2]))
+        return
+
+    from ingestr_spark.session import get_spark
+
+    spark = get_spark(
+        "bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    queries = run_headline(spark)
+    if DO_SCALING:
+        ensure_bench_table(spark)
+    spark.stop()
+
+    scaling = run_scaling() if DO_SCALING else {}
+    if scaling:
+        write_bench_md(scaling, queries)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "rollup+downsample cascade + gap-fill wall time",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if scaling:
+        out["throughput_mseq_per_sec"] = scaling["local32"]["mseq_per_sec"]
+        out["scaling"] = scaling
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,170 @@
+"""Deterministic token-table construction.
+
+The engine's primary input (per BASELINE.json input_hint / FIXTURES.md F1) is
+a table of pre-tokenized training sequences::
+
+    (doc_id string, tokens array<int>, n_tok int, source string,
+     ts timestamp, qc int)
+
+No such table ships with the testdata, so it is DERIVED deterministically —
+pure 64-bit integer arithmetic, no RNG — either from the driver's
+``documents`` parquet (for oracle-checked correctness runs: the identical
+derivation is expressible in DuckDB SQL, see :data:`TOKENS_CTE`) or from
+``spark.range`` (for benchmarks at arbitrary scale with zero external data).
+
+Derivation spec (implemented twice, Spark + DuckDB, byte-identical results):
+
+    id      = documents.doc_id                          (bigint, >= 0)
+    source  = 'hot'            if id % 2 == 0           (skew fixture: one hot
+              documents.source otherwise                 source holds ~50%)
+    doc_id  = printf('%s-%012d', source, id)
+    n_tok   = ((id*1103515245 + n_chars) % 2048) + 1     in [1, 2048]
+    tokens  = [ (id*2654435761 + i*2246822519) % 50257
+                for i in 1..n_tok ]                      int32, in [0, 50257)
+    qc      = id % 4                                     FLUXNET-style 0..3 QC
+                                                         code (reference:
+                                                         R/get_obs_bysite_fluxnet.R:28-99)
+    ts      = TIMESTAMP '2022-01-01' +
+              ((id*2654435761 + n_chars*8191) % 94608000) s  spans 3 calendar
+                                                         years; sparse → some
+                                                         (source, day) cells
+                                                         empty (gap-fill
+                                                         fixture)
+
+Every constant is small enough that all intermediates fit int64 for
+id < ~10^9 (5e3 at sf0.1; guarded by MAX_SAFE_ID for synthetic scale-out,
+where ids are first folded with % FOLD).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# LCG-ish multipliers (Knuth / xxhash primes) — arbitrary, fixed forever.
+A_TOK = 2654435761
+B_TOK = 2246822519
+A_NTOK = 1103515245
+A_TS = 2654435761  # big multiplier: the % SPAN_SECONDS spreads small ids over the whole 3-year span
+B_TS = 8191
+VOCAB = 50257
+MAX_NTOK = 2048
+EPOCH = "2022-01-01 00:00:00"
+SPAN_SECONDS = 3 * 365 * 86400  # 94608000 — three calendar years
+# synthetic ids are folded below this to keep id*A_TOK + 2048*B_TOK < 2^63
+FOLD = 2_000_000_000
+
+
+def _derivation_exprs(
+    id_col: str,
+    nchars_col: str,
+    source_col: str,
+    max_ntok: int = MAX_NTOK,
+    span_seconds: int = SPAN_SECONDS,
+) -> dict[str, str]:
+    """SQL expression strings shared by the Spark and synthetic paths.
+
+    ``span_seconds`` controls data density per calendar bucket: correctness
+    fixtures use the sparse 3-year span (gap-fill needs empty cells); the
+    bench generator uses a short span so rows-per-(source,hour) approximates
+    the 10^12-scale density where partial aggregation actually reduces.
+    """
+    return {
+        "source": f"CASE WHEN {id_col} % 2 = 0 THEN 'hot' ELSE {source_col} END",
+        "n_tok": f"CAST((({id_col}*{A_NTOK} + {nchars_col}) % {max_ntok}) + 1 AS INT)",
+        "qc": f"CAST({id_col} % 4 AS INT)",
+        "ts": (
+            f"timestampadd(SECOND, CAST(({id_col}*{A_TS} + {nchars_col}*{B_TS})"
+            f" % {span_seconds} AS INT), TIMESTAMP '{EPOCH}')"
+        ),
+    }
+
+
+def _tokens_expr(id_col: str) -> str:
+    return (
+        f"transform(sequence(1, n_tok), i -> "
+        f"CAST(({id_col}*{A_TOK} + CAST(i AS BIGINT)*{B_TOK}) % {VOCAB} AS INT))"
+    )
+
+
+def tokens_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive the token table from ``{sf_dir}/documents.parquet``.
+
+    Matches :data:`TOKENS_CTE` row-for-row (the DuckDB oracle derivation).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    e = _derivation_exprs("doc_id", "n_chars", "source")
+    out = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.expr(e["source"]).alias("source"),
+            F.expr(e["n_tok"]).alias("n_tok"),
+            F.expr(e["qc"]).alias("qc"),
+            F.expr(e["ts"]).alias("ts"),
+        )
+        .withColumn("tokens", F.expr(_tokens_expr("id")))
+        .withColumn("doc_id", F.format_string("%s-%012d", "source", "id"))
+        .select("doc_id", "tokens", "n_tok", "source", "ts", "qc", "id")
+    )
+    return out
+
+
+def synth_tokens(
+    spark: SparkSession,
+    n_rows: int,
+    n_sources: int = 20,
+    partitions: int | None = None,
+    max_ntok: int = MAX_NTOK,
+    span_seconds: int = SPAN_SECONDS,
+) -> DataFrame:
+    """Generate ``n_rows`` synthetic sequences from ``spark.range`` — no
+    external data, deterministic, any scale.
+
+    Same formulas as :func:`tokens_from_documents` with
+    ``n_chars := (id*8191) % 500 + 50`` and
+    ``source := 'src' || id % n_sources`` (before the hot-source remap), so a
+    1-row probe at any id is reproducible on a laptop or a 1000-executor
+    cluster. Ids are folded modulo FOLD to keep all arithmetic in int64.
+    """
+    rng = spark.range(0, n_rows, 1, partitions) if partitions else spark.range(n_rows)
+    base = rng.select(
+        (F.col("id") % FOLD).alias("id"),
+        F.concat(F.lit("src"), (F.col("id") % n_sources).cast("string")).alias("src0"),
+        (((F.col("id") * B_TS) % 500) + 50).alias("n_chars"),
+    )
+    e = _derivation_exprs(
+        "id", "n_chars", "src0", max_ntok=max_ntok, span_seconds=span_seconds
+    )
+    return (
+        base.select(
+            "id",
+            F.expr(e["source"]).alias("source"),
+            F.expr(e["n_tok"]).alias("n_tok"),
+            F.expr(e["qc"]).alias("qc"),
+            F.expr(e["ts"]).alias("ts"),
+        )
+        .withColumn("tokens", F.expr(_tokens_expr("id")))
+        .withColumn("doc_id", F.format_string("%s-%012d", "source", "id"))
+        .select("doc_id", "tokens", "n_tok", "source", "ts", "qc", "id")
+    )
+
+
+# DuckDB CTE reproducing tokens_from_documents() byte-for-byte on the
+# pre-registered `documents` view. Prepend to every oracle query that reads
+# the token table. (DuckDB range(1, n+1) == Spark sequence(1, n).)
+TOKENS_CTE = f"""
+tok AS (
+    SELECT
+        d.doc_id AS id,
+        CASE WHEN d.doc_id % 2 = 0 THEN 'hot' ELSE d.source END AS source,
+        CAST(((d.doc_id*{A_NTOK} + d.n_chars) % {MAX_NTOK}) + 1 AS INT) AS n_tok,
+        CAST(d.doc_id % 4 AS INT) AS qc,
+        TIMESTAMP '{EPOCH}'
+          + INTERVAL ((d.doc_id*{A_TS} + d.n_chars*{B_TS}) % {SPAN_SECONDS}) SECOND AS ts,
+        list_transform(range(1, CAST(((d.doc_id*{A_NTOK} + d.n_chars) % {MAX_NTOK}) + 1 AS INT) + 1),
+                       i -> CAST((d.doc_id*{A_TOK} + i*{B_TOK}) % {VOCAB} AS INT)) AS tokens,
+        CASE WHEN d.doc_id % 2 = 0 THEN 'hot' ELSE d.source END
+          || '-' || lpad(CAST(d.doc_id AS VARCHAR), 12, '0') AS doc_id_str
+    FROM documents d
+)
+"""

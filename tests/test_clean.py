@@ -1,0 +1,54 @@
+"""Cleaning operators: QC nullify, IQR fences, repeated-value, min-max norm."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ingestr_spark.operators.clean import (
+    iqr_outlier_nullify,
+    na_sentinel,
+    norm_to_max,
+    qc_code_nullify,
+    qc_nullify,
+    repeated_value_nullify,
+)
+
+
+def test_na_sentinel(spark):
+    df = spark.createDataFrame([(1.0,), (-9999.0,)], "v double")
+    out = na_sentinel(df, ["v"])
+    assert [r["v"] for r in out.collect()] == [1.0, None]
+
+
+def test_qc_nullify_fraction_rule(spark):
+    df = spark.createDataFrame([(1.0, 0.9), (2.0, 0.2)], "v double, qc double")
+    out = qc_nullify(df, "v", "qc", threshold=0.5)
+    assert [r["v"] for r in out.orderBy("qc").collect()] == [None, 1.0]
+
+
+def test_qc_code_nullify_hh_rule(spark):
+    df = spark.createDataFrame([(1.0, 0), (2.0, 1), (3.0, 2)], "v double, qc int")
+    out = qc_code_nullify(df, "v", "qc", max_code=1)
+    assert [r["v"] for r in out.orderBy("qc").collect()] == [1.0, 2.0, None]
+
+
+def test_iqr_outlier(spark):
+    vals = [("k", float(x)) for x in [1, 2, 3, 4, 5, 6, 7, 8]] + [("k", 1000.0)]
+    df = spark.createDataFrame(vals, "source string, v double")
+    out = iqr_outlier_nullify(df, "v")
+    assert out.filter("v IS NULL").count() == 1
+    assert out.filter("v = 1000.0").count() == 0
+
+
+def test_repeated_value_nullify(spark):
+    vals = [("k", 5.0)] * 4 + [("k", 7.0)]
+    df = spark.createDataFrame(vals, "source string, v double")
+    out = repeated_value_nullify(df, "v", max_repeats=3)
+    assert out.filter("v IS NULL").count() == 4
+    assert out.filter("v = 7.0").count() == 1
+
+
+def test_norm_to_max(spark):
+    df = spark.createDataFrame([("k", 0.0), ("k", 5.0), ("k", 10.0)], "source string, v double")
+    out = norm_to_max(df, "v")
+    assert sorted(r["v"] for r in out.collect()) == [0.0, 0.5, 1.0]
