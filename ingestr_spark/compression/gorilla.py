@@ -1,0 +1,291 @@
+"""Delta-of-delta timestamp + Gorilla XOR value compression (rule-mandated).
+
+Not present in the reference (it has no storage layer beyond CSV caches —
+R/ingest_modis_bysite.R:98-103); mandated by BASELINE.json north_rule for
+rolled-up points in continuous-aggregate tables. Formats follow the Gorilla
+paper (Pelkonen et al., VLDB 2015, "Gorilla: A Fast, Scalable, In-Memory
+Time Series Database", §4.1):
+
+* timestamps: header = t0 (64 bit) + first delta (64 bit); then per point a
+  delta-of-delta in variable-length buckets
+  '0' | '10'+7b | '110'+9b | '1110'+12b | '1111'+64b (zigzag-coded),
+* values: v0 raw 64 bit; then XOR with previous:
+  '0' if identical; '10' + meaningful bits if they fit the previous
+  leading/trailing-zero window; '11' + 6b leading + 6b length + bits.
+
+NaN encodes fine (it's just a bit pattern; NaN XOR NaN == 0). Round-trip is
+bit-exact on float64 — asserted by tests incl. a hypothesis property.
+
+Scale design: encoding is inherently sequential per series, so it runs as a
+grouped pandas UDF over (key, chunk) — one Arrow batch per chunk, bounded
+chunk length keeps executor memory flat (SURVEY §7.3-5). The bit loop is
+pure Python over numpy-prepared deltas/XORs; at true 10^12 scale this would
+be the one component worth a native (Scala/C) kernel, but the interface
+(binary columns per chunk in the aggregate table) would not change.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, bits: int) -> None:
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.nbits += bits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def getvalue(self) -> bytes:
+        if self.nbits:
+            return bytes(self.buf) + bytes([(self.acc << (8 - self.nbits)) & 0xFF])
+        return bytes(self.buf)
+
+
+class _BitReader:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+
+    def read(self, bits: int) -> int:
+        out = 0
+        for _ in range(bits):
+            byte = self.data[self.pos >> 3]
+            out = (out << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return out
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63)
+
+
+def _unzigzag(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+# ---- timestamp codec: delta-of-delta ---------------------------------------
+
+def encode_timestamps(ts: np.ndarray) -> bytes:
+    """ts: int64 array (epoch seconds or any monotone int axis)."""
+    ts = np.asarray(ts, dtype=np.int64)
+    n = len(ts)
+    w = _BitWriter()
+    w.write(n, 32)
+    if n == 0:
+        return w.getvalue()
+    w.write(int(ts[0]) & ((1 << 64) - 1), 64)
+    if n == 1:
+        return w.getvalue()
+    deltas = np.diff(ts)
+    w.write(int(deltas[0]) & ((1 << 64) - 1), 64)
+    dods = np.diff(deltas)
+    for dod in dods.tolist():
+        if dod == 0:
+            w.write(0, 1)
+        elif -63 <= dod <= 64:
+            w.write(0b10, 2)
+            w.write(_zigzag(dod), 7)
+        elif -255 <= dod <= 256:
+            w.write(0b110, 3)
+            w.write(_zigzag(dod), 9)
+        elif -2047 <= dod <= 2048:
+            w.write(0b1110, 4)
+            w.write(_zigzag(dod), 12)
+        else:
+            w.write(0b1111, 4)
+            w.write(_zigzag(dod), 64)
+    return w.getvalue()
+
+
+def decode_timestamps(blob: bytes) -> np.ndarray:
+    r = _BitReader(blob)
+    n = r.read(32)
+    out = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return out
+    t0 = r.read(64)
+    out[0] = t0 - (1 << 64) if t0 >= (1 << 63) else t0
+    if n == 1:
+        return out
+    d = r.read(64)
+    delta = d - (1 << 64) if d >= (1 << 63) else d
+    out[1] = out[0] + delta
+    for i in range(2, n):
+        if r.read(1) == 0:
+            dod = 0
+        elif r.read(1) == 0:
+            dod = _unzigzag(r.read(7))
+        elif r.read(1) == 0:
+            dod = _unzigzag(r.read(9))
+        elif r.read(1) == 0:
+            dod = _unzigzag(r.read(12))
+        else:
+            dod = _unzigzag(r.read(64))
+        delta += dod
+        out[i] = out[i - 1] + delta
+    return out
+
+
+# ---- value codec: Gorilla XOR ----------------------------------------------
+
+def encode_values(vals: np.ndarray) -> bytes:
+    """vals: float64 array; bit-exact round trip (NaN included)."""
+    bits = np.asarray(vals, dtype=np.float64).view(np.uint64)
+    n = len(bits)
+    w = _BitWriter()
+    w.write(n, 32)
+    if n == 0:
+        return w.getvalue()
+    w.write(int(bits[0]), 64)
+    prev = int(bits[0])
+    prev_lead, prev_len = 65, 0  # 65 = "no previous window"
+    xors = np.bitwise_xor(bits[1:], bits[:-1]) if n > 1 else []
+    for x in (int(v) for v in xors):
+        if x == 0:
+            w.write(0, 1)
+        else:
+            lead = 64 - x.bit_length()
+            trail = (x & -x).bit_length() - 1
+            if lead > 31:  # 5-bit leading field cap (paper format)
+                lead = 31
+            if prev_lead <= 64 and lead >= prev_lead and trail >= (64 - prev_lead - prev_len):
+                w.write(0b10, 2)
+                w.write(x >> (64 - prev_lead - prev_len), prev_len)
+            else:
+                mlen = 64 - lead - trail
+                w.write(0b11, 2)
+                w.write(lead, 5)
+                w.write(mlen & 0x3F, 6)  # 64 encodes as 0 (paper trick)
+                w.write(x >> trail, mlen)
+                prev_lead, prev_len = lead, mlen
+    return w.getvalue()
+
+
+def decode_values(blob: bytes) -> np.ndarray:
+    r = _BitReader(blob)
+    n = r.read(32)
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out.view(np.float64)
+    cur = r.read(64)
+    out[0] = cur
+    lead, mlen = 0, 0
+    for i in range(1, n):
+        if r.read(1) == 0:
+            out[i] = cur
+            continue
+        if r.read(1) == 1:
+            lead = r.read(5)
+            mlen = r.read(6)
+            if mlen == 0:
+                mlen = 64
+        trail = 64 - lead - mlen
+        x = r.read(mlen) << trail
+        cur ^= x
+        out[i] = cur
+    return out.view(np.float64)
+
+
+# ---- DataFrame-level API -----------------------------------------------------
+
+COMPRESSED_SCHEMA_SUFFIX = [
+    T.StructField("n_points", T.IntegerType()),
+    T.StructField("ts_dod", T.BinaryType()),
+    T.StructField("vals_gorilla", T.BinaryType()),
+]
+
+
+def compress_tier(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str] | None = None,
+    bucket_col: str = "bucket",
+    chunk_expr: str = "year(bucket)",
+) -> DataFrame:
+    """Pack each (key, chunk) series into one row of binary columns.
+
+    ``chunk_expr`` bounds series length per pandas-UDF group (a year of
+    hourly points = 8784 — far under Arrow batch limits even for the hot
+    source). Output: key_cols + chunk + n_points + ts_dod + vals_gorilla.
+    """
+    key_cols = key_cols or ["source"]
+    work = df.select(
+        *key_cols,
+        F.expr(chunk_expr).alias("chunk"),
+        F.col(bucket_col).cast("timestamp").cast("long").alias("_t"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    out_schema = T.StructType(
+        [work.schema[c] for c in key_cols]
+        + [work.schema["chunk"], *COMPRESSED_SCHEMA_SUFFIX]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_t")
+        ts = pdf["_t"].to_numpy(dtype="int64")
+        vs = pdf["_v"].to_numpy(dtype="float64")
+        head = {c: [pdf[c].iloc[0]] for c in key_cols}
+        head["chunk"] = [pdf["chunk"].iloc[0]]
+        head["n_points"] = [len(ts)]
+        head["ts_dod"] = [encode_timestamps(ts)]
+        head["vals_gorilla"] = [encode_values(vs)]
+        return pd.DataFrame(head)
+
+    return (
+        work.repartition(*key_cols, "chunk")
+        .groupBy(*key_cols, "chunk")
+        .applyInPandas(pack, out_schema)
+    )
+
+
+def decompress_tier(
+    df: DataFrame,
+    value_col: str = "value",
+    key_cols: list[str] | None = None,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Inverse of :func:`compress_tier`: explode binary chunks back to
+    (key, bucket, value) rows."""
+    key_cols = key_cols or ["source"]
+    out_schema = T.StructType(
+        [df.schema[c] for c in key_cols]
+        + [
+            T.StructField(bucket_col, T.TimestampType()),
+            T.StructField(value_col, T.DoubleType()),
+        ]
+    )
+
+    def unpack(pdf: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, row in pdf.iterrows():
+            ts = decode_timestamps(bytes(row["ts_dod"]))
+            vs = decode_values(bytes(row["vals_gorilla"]))
+            fr = pd.DataFrame({
+                bucket_col: pd.to_datetime(ts, unit="s"),
+                value_col: vs,
+            })
+            for c in key_cols:
+                fr[c] = row[c]
+            frames.append(fr[[*key_cols, bucket_col, value_col]])
+        if not frames:
+            return pd.DataFrame(columns=[*key_cols, bucket_col, value_col])
+        return pd.concat(frames, ignore_index=True)
+
+    return df.groupBy(*key_cols).applyInPandas(unpack, out_schema)

@@ -1,0 +1,66 @@
+"""spark-submit entrypoint: the full rollup→downsample→retention job.
+
+Run (cluster or local):
+
+    spark-submit --py-files ingestr_spark.zip -m ingestr_spark.pipeline \
+        --input /path/to/tokens_parquet --store /path/to/store \
+        --tiers 1h,1d,1mo --retain-before 2022-06 --compress
+
+Resumable: re-running skips month-partitions already in the store manifest
+(kill it anywhere; completed work is never redone). Lineage + metrics land in
+the manifest tables (see retention.AggregateStore).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from ingestr_spark.compression.gorilla import compress_tier
+from ingestr_spark.retention import TIER_CHAIN, AggregateStore
+from ingestr_spark.session import get_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="ingestr_spark rollup pipeline")
+    p.add_argument("--input", required=True, help="token-table parquet path")
+    p.add_argument("--store", required=True, help="aggregate store root")
+    p.add_argument("--tiers", default=",".join(TIER_CHAIN))
+    p.add_argument("--retain-before", default=None,
+                   help="yyyy-MM: drop 1h partitions before this month once 1d verifies")
+    p.add_argument("--compress", action="store_true",
+                   help="write Gorilla/delta-of-delta packed copies of each tier")
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    spark = get_spark("ingestr-pipeline", master=args.master)
+    store = AggregateStore(spark, args.store)
+    tiers = args.tiers.split(",")
+
+    t0 = time.time()
+    raw = spark.read.parquet(args.input)
+    built = store.build_all(raw, tiers)
+
+    if args.compress:
+        for t in tiers:
+            packed = compress_tier(store.read_tier(t), value_col="avg_n_tok")
+            packed.write.mode("overwrite").parquet(f"{store.root}/compressed/{t}")
+
+    dropped = []
+    if args.retain_before and len(tiers) >= 2:
+        dropped = store.apply_retention(tiers[0], tiers[1], args.retain_before)
+
+    report = {
+        "built_partitions": built,
+        "dropped_partitions": {tiers[0]: dropped} if dropped else {},
+        "wall_sec": round(time.time() - t0, 2),
+    }
+    print(json.dumps(report))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,194 @@
+"""Tiered retention store: continuous-aggregate tables, checkpoint/resume,
+per-partition lineage + metrics (north-rule mandates; reference analog is the
+read-if-exists CSV cache, R/ingest_modis_bysite.R:98-103, S12 in SURVEY §2.1).
+
+Storage is partitioned parquet laid out Iceberg-style (``tier=<t>`` tables
+partitioned by ``source`` and month). The container has no Iceberg runtime
+jars; the store isolates every filesystem assumption behind this class so an
+Iceberg catalog (`MERGE INTO`, snapshot-based resume) can replace the parquet
+paths without touching operators. Partition overwrite is dynamic — rewriting
+one (source, month) never touches siblings, which is what makes resume
+idempotent.
+
+Layout:
+    <root>/tiers/<tier>/p_month=YYYY-MM/part-*.parquet
+    <root>/manifest/<tier>/part-*.parquet   (append-only lineage log)
+
+Manifest row = one completed partition:
+    (tier, p_month, n_rows, sum_n_seq, wall_ms, job_id, completed_at)
+``sum_n_seq`` doubles as the verification checksum: a coarser tier's
+partition is "verified" when its sum_n_seq equals the finer tier's over the
+same month — only then may the finer partition be dropped by retention.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ingestr_spark.operators.rollup import rollup_cascade, rollup_from_raw
+
+TIER_CHAIN = ["1h", "1d", "1mo"]
+
+
+class AggregateStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    # ---- paths ----------------------------------------------------------
+    def tier_path(self, tier: str) -> str:
+        return f"{self.root}/tiers/{tier}"
+
+    def manifest_path(self, tier: str) -> str:
+        return f"{self.root}/manifest/{tier}"
+
+    # ---- manifest (lineage + metrics) ------------------------------------
+    def read_manifest(self, tier: str) -> DataFrame | None:
+        path = self.manifest_path(tier)
+        if not os.path.exists(path):
+            return None
+        df = self.spark.read.parquet(path)
+        return df if df.columns else None
+
+    def completed_months(self, tier: str) -> set[str]:
+        m = self.read_manifest(tier)
+        if m is None:
+            return set()
+        return {r["p_month"] for r in m.select("p_month").distinct().collect()}
+
+    def _log(self, tier: str, rows: list[dict]) -> None:
+        if not rows:
+            return
+        df = self.spark.createDataFrame(
+            [(r["p_month"], r["n_rows"], r["sum_n_seq"], r["wall_ms"], r["job_id"], r["completed_at"]) for r in rows],
+            "p_month string, n_rows long, sum_n_seq long, wall_ms long, job_id string, completed_at double",
+        )
+        df.coalesce(1).write.mode("append").parquet(self.manifest_path(tier))
+
+    # ---- tier build with checkpoint/resume --------------------------------
+    def build_tier(
+        self,
+        tier: str,
+        source_df: DataFrame,
+        from_tier: str | None = None,
+        job_id: str | None = None,
+    ) -> int:
+        """(Re)build one tier from raw (``from_tier=None``) or by cascading
+        the finer tier. Only months absent from the manifest are computed —
+        this IS the checkpoint/resume path: kill the job anywhere, rerun,
+        and completed partitions are skipped.
+
+        Returns the number of month-partitions built this run.
+        """
+        job_id = job_id or uuid.uuid4().hex[:12]
+        agg = (
+            rollup_from_raw(source_df, tier)
+            if from_tier is None
+            else rollup_cascade(source_df, tier)
+        )
+        agg = agg.withColumn("p_month", F.date_format("bucket", "yyyy-MM"))
+
+        done = self.completed_months(tier)
+        todo = {
+            r["p_month"]
+            for r in agg.select("p_month").distinct().collect()
+        } - done
+        if not todo:
+            return 0
+
+        pending = agg.filter(F.col("p_month").isin(list(todo)))
+        # explicit repartition on the write-partition key: one shuffle,
+        # each output partition written by few tasks (no small-file storm)
+        t0 = time.time()
+        pending.repartition("p_month", "source").write.mode("overwrite").partitionBy(
+            "p_month"
+        ).parquet(self.tier_path(tier))
+        wall_ms = int((time.time() - t0) * 1000)
+
+        stats = (
+            pending.groupBy("p_month")
+            .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("n_seq").alias("sum_n_seq"))
+            .collect()
+        )
+        now = time.time()
+        self._log(
+            tier,
+            [
+                {
+                    "p_month": r["p_month"],
+                    "n_rows": r["n_rows"],
+                    "sum_n_seq": r["sum_n_seq"],
+                    "wall_ms": wall_ms,
+                    "job_id": job_id,
+                    "completed_at": now,
+                }
+                for r in stats
+            ],
+        )
+        return len(todo)
+
+    def read_tier(self, tier: str) -> DataFrame:
+        return self.spark.read.parquet(self.tier_path(tier))
+
+    def build_all(self, raw: DataFrame, tiers: list[str] | None = None) -> dict[str, int]:
+        """Full cascade with resume at every tier."""
+        tiers = tiers or TIER_CHAIN
+        built: dict[str, int] = {}
+        prev: str | None = None
+        for t in tiers:
+            src = raw if prev is None else self.read_tier(prev)
+            built[t] = self.build_tier(t, src, from_tier=prev)
+            prev = t
+        return built
+
+    # ---- verification + retention ----------------------------------------
+    def verify_cascade(self, finer: str, coarser: str) -> DataFrame:
+        """Month-level check that the coarser tier conserves the finer tier's
+        row mass (sum_n_seq). Returns months with status."""
+        f = (
+            self.read_tier(finer)
+            .groupBy(F.date_format("bucket", "yyyy-MM").alias("p_month"))
+            .agg(F.sum("n_seq").alias("fine_n"))
+        )
+        c = (
+            self.read_tier(coarser)
+            .groupBy(F.date_format("bucket", "yyyy-MM").alias("p_month"))
+            .agg(F.sum("n_seq").alias("coarse_n"))
+        )
+        return f.join(c, "p_month", "full").select(
+            "p_month",
+            "fine_n",
+            "coarse_n",
+            (F.col("fine_n") == F.col("coarse_n")).alias("ok"),
+        )
+
+    def apply_retention(
+        self, tier: str, coarser: str, keep_months_after: str
+    ) -> list[str]:
+        """Drop this tier's month-partitions strictly before
+        ``keep_months_after`` (yyyy-MM), but ONLY those whose coarser rollup
+        verified. Partition-level delete — the Iceberg equivalent is a
+        metadata-only ``DELETE WHERE p_month < ...``."""
+        verified = {
+            r["p_month"]
+            for r in self.verify_cascade(tier, coarser).filter("ok").collect()
+        }
+        dropped = []
+        base = self.tier_path(tier)
+        if not os.path.exists(base):
+            return dropped
+        for entry in sorted(os.listdir(base)):
+            if not entry.startswith("p_month="):
+                continue
+            month = entry.split("=", 1)[1]
+            if month < keep_months_after and month in verified:
+                shutil.rmtree(os.path.join(base, entry))
+                dropped.append(month)
+        return dropped
