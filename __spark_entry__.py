@@ -173,6 +173,83 @@ def q_iqr_outlier_events(spark, sf_dir):
     )
 
 
+def q_clim_monthly(spark, sf_dir):
+    """A8 per-key month-of-year climatology over the token table."""
+    from ingestr_spark.operators.met import monthly_climatology
+
+    t = _tok(spark, sf_dir).withColumn("date", F.to_date("ts"))
+    return monthly_climatology(t, "n_tok", ["source"], "date").withColumnRenamed(
+        "n_tok_clim", "n_tok_clim"
+    )
+
+
+def q_bias_correct_tokens(spark, sf_dir):
+    """J3 monthly bias correction: scale n_tok by ref/obs climatology ratio,
+    ref = qc-good rows only."""
+    from ingestr_spark.operators.met import bias_correct_monthly
+
+    t = (
+        _tok(spark, sf_dir)
+        .withColumn("date", F.to_date("ts"))
+        .withColumn("v", F.col("n_tok").cast("double"))
+    )
+    ref = t.filter(F.col("qc").isin(0, 1))
+    out = bias_correct_monthly(t, ref, "v", mode="scale", key_cols=["source"], date_col="date")
+    return out.select("doc_id", "date", "v")
+
+
+def q_qc_code_nullify_1d(spark, sf_dir):
+    """P3 hh-code rule (keep qc<=1) then daily integer rollup."""
+    from ingestr_spark.operators.clean import qc_code_nullify
+
+    t = qc_code_nullify(_tok(spark, sf_dir), "n_tok", "qc", max_code=1)
+    return t.groupBy(
+        "source", F.date_trunc("day", "ts").cast("date").alias("bucket")
+    ).agg(
+        F.sum("n_tok").alias("sum_n_tok_clean"),
+        F.count(F.lit(1)).alias("n_seq"),
+    )
+
+
+def q_events_daily_minmax(spark, sf_dir):
+    """A2 shape: daily min/max + good-fraction per event_type."""
+    from ingestr_spark.operators.met import qc_fraction as _  # noqa: F401
+
+    apply_engine_conf(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        "event_type", F.to_date("ts").alias("date")
+    ).agg(
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        (F.sum(F.when(F.col("value") > 0.5, 1).otherwise(0)) / F.count(F.lit(1))).alias("good_frac"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_repeated_value_lineitem(spark, sf_dir):
+    """P5 suspicious-repeat removal on lineitem quantities."""
+    from ingestr_spark.operators.clean import repeated_value_nullify
+
+    apply_engine_conf(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = repeated_value_nullify(li, "l_quantity", ["l_returnflag"], max_repeats=3)
+    return out.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).alias("n_nullified"),
+    )
+
+
+def q_norm_to_max_lineitem(spark, sf_dir):
+    """P7 min-max normalization per key, row-level output."""
+    from ingestr_spark.operators.clean import norm_to_max
+
+    apply_engine_conf(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = norm_to_max(li, "l_quantity", ["l_returnflag"], out_col="qnorm")
+    return out.select("l_orderkey", "l_linenumber", "l_returnflag", "qnorm")
+
+
 # ---------------- driver contract -------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -194,6 +271,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_linear_1d": q_gapfill_linear_1d,
         "events_rollup_1h": q_events_rollup_1h,
         "iqr_outlier_events": q_iqr_outlier_events,
+        "clim_monthly": q_clim_monthly,
+        "bias_correct_tokens": q_bias_correct_tokens,
+        "qc_code_nullify_1d": q_qc_code_nullify_1d,
+        "events_daily_minmax": q_events_daily_minmax,
+        "repeated_value_lineitem": q_repeated_value_lineitem,
+        "norm_to_max_lineitem": q_norm_to_max_lineitem,
     }
 
 
@@ -211,4 +294,10 @@ def oracle_sql() -> dict[str, str]:
         "gapfill_linear_1d": oracles.GAPFILL_LINEAR_1D,
         "events_rollup_1h": oracles.EVENTS_ROLLUP_1H,
         "iqr_outlier_events": oracles.IQR_OUTLIER_EVENTS,
+        "clim_monthly": oracles.CLIM_MONTHLY,
+        "bias_correct_tokens": oracles.BIAS_CORRECT_TOKENS,
+        "qc_code_nullify_1d": oracles.QC_CODE_NULLIFY_1D,
+        "events_daily_minmax": oracles.EVENTS_DAILY_MINMAX,
+        "repeated_value_lineitem": oracles.REPEATED_VALUE_LINEITEM,
+        "norm_to_max_lineitem": oracles.NORM_TO_MAX_LINEITEM,
     }

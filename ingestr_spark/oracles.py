@@ -170,3 +170,64 @@ SELECT e.event_type,
 FROM events e JOIN fences f USING (event_type)
 GROUP BY 1
 """
+
+# ---- cleaning / climatology / bias-correction oracles -----------------------
+
+CLIM_MONTHLY = f"""WITH {TOKENS_CTE}
+SELECT source, month(ts) AS moy, AVG(n_tok) AS n_tok_clim
+FROM tok GROUP BY 1, 2
+"""
+
+# bias correction J3: v * clim_ref/clim_obs per (source, month-of-year);
+# ref climatology from qc-good rows only. n_tok is integer-valued so every
+# sum/avg is exact and order-independent; the double division+multiplication
+# has identical operand order in operators/met.py::bias_correct_monthly.
+BIAS_CORRECT_TOKENS = f"""WITH {TOKENS_CTE},
+obs AS (SELECT source, month(ts) AS moy, AVG(n_tok) AS c FROM tok GROUP BY 1, 2),
+refc AS (SELECT source, month(ts) AS moy, AVG(n_tok) AS c
+         FROM tok WHERE qc IN (0, 1) GROUP BY 1, 2)
+SELECT t.doc_id_str AS doc_id,
+       CAST(t.ts AS DATE) AS date,
+       CASE WHEN r.c IS NOT NULL AND o.c IS NOT NULL
+            THEN CAST(t.n_tok AS DOUBLE) * r.c / o.c
+            ELSE CAST(t.n_tok AS DOUBLE) END AS v
+FROM tok t
+LEFT JOIN obs o  ON t.source = o.source AND month(t.ts) = o.moy
+LEFT JOIN refc r ON t.source = r.source AND month(t.ts) = r.moy
+"""
+
+QC_CODE_NULLIFY_1D = f"""WITH {TOKENS_CTE}
+SELECT source, CAST(date_trunc('day', ts) AS DATE) AS bucket,
+  CAST(SUM(CASE WHEN qc <= 1 THEN n_tok END) AS BIGINT) AS sum_n_tok_clean,
+  COUNT(*) AS n_seq
+FROM tok GROUP BY 1, 2
+"""
+
+EVENTS_DAILY_MINMAX = """
+SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS date,
+  MIN(value) AS min_value, MAX(value) AS max_value,
+  CAST(SUM(CASE WHEN value > 0.5 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS good_frac,
+  COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+REPEATED_VALUE_LINEITEM = """
+WITH c AS (
+  SELECT l_returnflag, l_quantity,
+         COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) AS cnt
+  FROM lineitem
+)
+SELECT l_returnflag, COUNT(*) AS n_total,
+  CAST(SUM(CASE WHEN cnt > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_nullified
+FROM c GROUP BY 1
+"""
+
+NORM_TO_MAX_LINEITEM = """
+WITH m AS (
+  SELECT l_returnflag, MIN(l_quantity) AS lo, MAX(l_quantity) AS hi
+  FROM lineitem GROUP BY 1
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+  (l.l_quantity - m.lo) / (m.hi - m.lo) AS qnorm
+FROM lineitem l JOIN m USING (l_returnflag)
+"""
