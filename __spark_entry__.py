@@ -250,6 +250,91 @@ def q_norm_to_max_lineitem(spark, sf_dir):
     return out.select("l_orderkey", "l_linenumber", "l_returnflag", "qnorm")
 
 
+# ---- training-data pipeline queries: dedup / similarity / text --------------
+
+def q_dedup_exact_fp(spark, sf_dir):
+    """Exact dedup by token fingerprint on the exact-dup fixture (pairs of
+    identical docs) — keeps the lowest id per fingerprint."""
+    from ingestr_spark.datagen import exactdup_tokens
+    from ingestr_spark.functions.text import token_fingerprint
+    from ingestr_spark.operators.dedup import exact_dedup
+
+    apply_engine_conf(spark)
+    d = exactdup_tokens(spark, sf_dir).withColumn("fp", token_fingerprint("tokens"))
+    return exact_dedup(d, "fp", "id").select("fp", "id")
+
+
+def q_token_fingerprint(spark, sf_dir):
+    from ingestr_spark.datagen import neardup_tokens
+    from ingestr_spark.functions.text import token_fingerprint
+
+    apply_engine_conf(spark)
+    return neardup_tokens(spark, sf_dir).select(
+        "id", token_fingerprint("tokens").alias("fp")
+    )
+
+
+def q_minhash_pairs(spark, sf_dir):
+    from ingestr_spark.datagen import neardup_tokens
+    from ingestr_spark.operators.dedup import minhash_similarity
+
+    apply_engine_conf(spark)
+    return minhash_similarity(
+        neardup_tokens(spark, sf_dir), "id", k=8, bands=4, threshold=0.5
+    )
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    from ingestr_spark.datagen import neardup_tokens
+    from ingestr_spark.operators.dedup import ngram_jaccard_pairs
+
+    apply_engine_conf(spark)
+    return ngram_jaccard_pairs(neardup_tokens(spark, sf_dir), "id", threshold=0.5)
+
+
+def q_simhash_fp(spark, sf_dir):
+    from ingestr_spark.datagen import neardup_tokens
+    from ingestr_spark.operators.dedup import simhash
+
+    apply_engine_conf(spark)
+    return simhash(neardup_tokens(spark, sf_dir), "id")
+
+
+def q_embedding_neardup(spark, sf_dir):
+    from ingestr_spark.operators.dedup import embedding_near_dup
+
+    apply_engine_conf(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup(emb, threshold=0.4)
+
+
+def q_ann_topk(spark, sf_dir):
+    from ingestr_spark.operators.similarity import brute_force_topk
+
+    apply_engine_conf(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries_df, k=5)
+
+
+def q_text_stats(spark, sf_dir):
+    from ingestr_spark.functions import text as X
+
+    apply_engine_conf(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        "lang",
+        X.lang_id(F.col("text")).alias("lang_pred"),
+        X.word_count(F.col("text")).alias("n_words"),
+        X.bpe_ish_token_count(F.col("text")).alias("n_bpe"),
+        X.whitespace_token_count(F.col("text")).alias("n_ws"),
+        X.quality_score(F.col("text")).alias("quality"),
+    )
+
+
 # ---------------- driver contract -------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -277,6 +362,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily_minmax": q_events_daily_minmax,
         "repeated_value_lineitem": q_repeated_value_lineitem,
         "norm_to_max_lineitem": q_norm_to_max_lineitem,
+        "dedup_exact_fp": q_dedup_exact_fp,
+        "token_fingerprint": q_token_fingerprint,
+        "minhash_pairs": q_minhash_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash_fp": q_simhash_fp,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_topk": q_ann_topk,
+        "text_stats": q_text_stats,
     }
 
 
@@ -300,4 +393,12 @@ def oracle_sql() -> dict[str, str]:
         "events_daily_minmax": oracles.EVENTS_DAILY_MINMAX,
         "repeated_value_lineitem": oracles.REPEATED_VALUE_LINEITEM,
         "norm_to_max_lineitem": oracles.NORM_TO_MAX_LINEITEM,
+        "dedup_exact_fp": oracles.DEDUP_EXACT_FP,
+        "token_fingerprint": oracles.TOKEN_FINGERPRINT,
+        "minhash_pairs": oracles.MINHASH_PAIRS,
+        "ngram_jaccard_pairs": oracles.NGRAM_JACCARD_PAIRS,
+        "simhash_fp": oracles.SIMHASH_FP,
+        "embedding_neardup": oracles.EMBEDDING_NEARDUP,
+        "ann_topk": oracles.ANN_TOPK,
+        "text_stats": oracles.TEXT_STATS,
     }

@@ -168,3 +168,62 @@ tok AS (
     FROM documents d
 )
 """
+
+
+# ---- dedup fixture views -----------------------------------------------------
+# The primary token derivation makes every doc unique, so dedup operators
+# would find nothing. These views re-derive tokens from a GROUP BASE id so
+# duplicates exist by construction, still pure integer arithmetic mirrored in
+# DuckDB (NEARDUP_CTE / EXACTDUP_CTE).
+#
+# near-dup groups of 5: base b = id - id%5; docs share the base token prefix
+# and append id%5 extra tokens -> high (but <1) n-gram Jaccard within group.
+# exact-dup pairs: base b2 = id - id%2; both ids derive identical tokens.
+
+def neardup_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(F.col("doc_id").alias("id")).select(
+        "id",
+        F.expr(f"""
+            transform(
+              sequence(1, CAST((((id - id % 5) * {A_NTOK} + (id - id % 5)) % 256) + 8 + id % 5 AS INT)),
+              i -> CAST(((id - id % 5) * {A_TOK} + CAST(i AS BIGINT) * {B_TOK}) % {VOCAB} AS INT)
+            )
+        """).alias("tokens"),
+    )
+
+
+def exactdup_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(F.col("doc_id").alias("id")).select(
+        "id",
+        F.expr(f"""
+            transform(
+              sequence(1, CAST((((id - id % 2) * {A_NTOK} + (id - id % 2)) % 128) + 4 AS INT)),
+              i -> CAST(((id - id % 2) * {A_TOK} + CAST(i AS BIGINT) * {B_TOK}) % {VOCAB} AS INT)
+            )
+        """).alias("tokens"),
+    )
+
+
+NEARDUP_CTE = f"""
+tokd AS (
+    SELECT doc_id AS id,
+           list_transform(
+             range(1, CAST((((doc_id - doc_id % 5) * {A_NTOK} + (doc_id - doc_id % 5)) % 256) + 8 + doc_id % 5 AS INT) + 1),
+             i -> CAST(((doc_id - doc_id % 5) * {A_TOK} + i * {B_TOK}) % {VOCAB} AS INT)
+           ) AS tokens
+    FROM documents
+)
+"""
+
+EXACTDUP_CTE = f"""
+dupd AS (
+    SELECT doc_id AS id,
+           list_transform(
+             range(1, CAST((((doc_id - doc_id % 2) * {A_NTOK} + (doc_id - doc_id % 2)) % 128) + 4 AS INT) + 1),
+             i -> CAST(((doc_id - doc_id % 2) * {A_TOK} + i * {B_TOK}) % {VOCAB} AS INT)
+           ) AS tokens
+    FROM documents
+)
+"""

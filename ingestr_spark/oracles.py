@@ -231,3 +231,169 @@ SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
   (l.l_quantity - m.lo) / (m.hi - m.lo) AS qnorm
 FROM lineitem l JOIN m USING (l_returnflag)
 """
+
+# ---- dedup / similarity / text-analysis oracles ------------------------------
+
+from ingestr_spark.datagen import EXACTDUP_CTE, NEARDUP_CTE  # noqa: E402
+
+_V = 50257
+_SH = f"""
+sh AS (
+  SELECT id,
+         unnest(list_distinct(list_transform(range(1, len(tokens) - 1), i ->
+             CAST(tokens[i] AS BIGINT) * {_V * _V}
+           + CAST(tokens[i + 1] AS BIGINT) * {_V}
+           + tokens[i + 2]))) AS shingle
+  FROM tokd
+)
+"""
+
+_MH_A = [31, 331, 3331, 33331, 2857, 28571, 5923, 59233]
+_MH_B = [7, 77, 777, 7777, 1213, 12131, 2399, 23993]
+_SIG_COLS = ",\n  ".join(
+    f"MIN((shingle * {_MH_A[i]} + {_MH_B[i]}) % 1000000007) AS mh{i}" for i in range(8)
+)
+_SIG = f"sig AS (SELECT id, {_SIG_COLS} FROM sh GROUP BY id)"
+
+_BANDS = "\nUNION\n".join(
+    f"""SELECT l.id AS id_a, r.id AS id_b
+FROM (SELECT id, CAST(mh{2*b} AS VARCHAR) || '_' || CAST(mh{2*b+1} AS VARCHAR) AS bucket FROM sig) l
+JOIN (SELECT id, CAST(mh{2*b} AS VARCHAR) || '_' || CAST(mh{2*b+1} AS VARCHAR) AS bucket FROM sig) r
+  USING (bucket) WHERE l.id < r.id"""
+    for b in range(4)
+)
+
+MINHASH_PAIRS = f"""WITH {NEARDUP_CTE}, {_SH}, {_SIG},
+cand AS ({_BANDS})
+SELECT c.id_a, c.id_b,
+  (( CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END
+   + CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END
+   + CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END
+   + CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END
+   + CASE WHEN a.mh4 = b.mh4 THEN 1 ELSE 0 END
+   + CASE WHEN a.mh5 = b.mh5 THEN 1 ELSE 0 END
+   + CASE WHEN a.mh6 = b.mh6 THEN 1 ELSE 0 END
+   + CASE WHEN a.mh7 = b.mh7 THEN 1 ELSE 0 END) / 8.0) AS est_jaccard
+FROM cand c JOIN sig a ON c.id_a = a.id JOIN sig b ON c.id_b = b.id
+WHERE (( CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END
+   + CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END
+   + CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END
+   + CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END
+   + CASE WHEN a.mh4 = b.mh4 THEN 1 ELSE 0 END
+   + CASE WHEN a.mh5 = b.mh5 THEN 1 ELSE 0 END
+   + CASE WHEN a.mh6 = b.mh6 THEN 1 ELSE 0 END
+   + CASE WHEN a.mh7 = b.mh7 THEN 1 ELSE 0 END) / 8.0) >= 0.5
+"""
+
+NGRAM_JACCARD_PAIRS = f"""WITH {NEARDUP_CTE}, {_SH},
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT l.id AS id_a, r.id AS id_b, COUNT(*) AS n_inter
+  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.id < r.id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, CAST(i.n_inter AS BIGINT) AS n_inter,
+       sa.sz AS sz_a, sb.sz AS sz_b,
+       CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter) AS jaccard
+FROM inter i JOIN sizes sa ON i.id_a = sa.id JOIN sizes sb ON i.id_b = sb.id
+WHERE CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter) >= 0.5
+"""
+
+_SIMHASH_SUMS = ",\n  ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(16)
+)
+_SIMHASH_FP = " + ".join(f"CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END" for b in range(16))
+
+SIMHASH_FP = f"""WITH {NEARDUP_CTE},
+t AS (SELECT id, unnest(tokens) AS tok FROM tokd),
+h AS (SELECT id, (CAST(tok AS BIGINT) * 2654435761 + 40503) % 2147483648 AS h FROM t),
+s AS (SELECT id, {_SIMHASH_SUMS} FROM h GROUP BY id)
+SELECT id, CAST({_SIMHASH_FP} AS INT) AS simhash FROM s
+"""
+
+DEDUP_EXACT_FP = f"""WITH {EXACTDUP_CTE},
+fp AS (
+  SELECT id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), tokens),
+                     (a, x) -> (a * 31 + x) % 1000000000039) AS fp
+  FROM dupd
+)
+SELECT fp, MIN(id) AS id FROM fp GROUP BY fp
+"""
+
+TOKEN_FINGERPRINT = f"""WITH {NEARDUP_CTE}
+SELECT id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), tokens),
+                   (a, x) -> (a * 31 + x) % 1000000000039) AS fp
+FROM tokd
+"""
+
+_QEMB = """
+q AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+  FROM embeddings
+),
+n AS (
+  SELECT id, q,
+         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nrm
+  FROM q
+)
+"""
+
+EMBEDDING_NEARDUP = f"""WITH {_QEMB},
+p AS (
+  SELECT l.id AS id_a, r.id AS id_b,
+    CAST(list_sum(list_transform(range(1, len(l.q) + 1), i -> l.q[i] * r.q[i])) AS DOUBLE)
+      / sqrt(CAST(l.nrm AS DOUBLE) * CAST(r.nrm AS DOUBLE)) AS cosine
+  FROM n l JOIN n r ON l.id < r.id
+)
+SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4
+"""
+
+ANN_TOPK = f"""WITH {_QEMB},
+scored AS (
+  SELECT qr.id AS query_id, c.id AS vec_id,
+    CAST(list_sum(list_transform(range(1, len(c.q) + 1), i -> c.q[i] * qr.q[i])) AS DOUBLE)
+      / sqrt(CAST(c.nrm AS DOUBLE) * CAST(qr.nrm AS DOUBLE)) AS cosine
+  FROM n c JOIN n qr ON qr.id < 10 AND c.id <> qr.id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+"""
+
+TEXT_STATS = r"""
+WITH s AS (
+  SELECT doc_id, text, lang,
+    len(regexp_extract_all(text, '\b(the|and|of|to|is|was|that)\b')) AS s_en,
+    len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht|ein)\b')) AS s_de,
+    len(regexp_extract_all(text, '\b(el|la|los|las|es|una|que|para)\b')) AS s_es,
+    len(regexp_extract_all(text, '\b(le|la|les|est|une|dans|pour|avec)\b')) AS s_fr,
+    len(regexp_extract_all(text, '[一-鿿]')) * 3 AS s_zh,
+    len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe,
+    len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}\-]')) AS n_punct,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws,
+    length(text) AS n_chars
+  FROM documents
+)
+SELECT doc_id, lang,
+  CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'en'
+       WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'de'
+       WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'es'
+       WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'fr'
+       WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'zh'
+       ELSE 'und' END AS lang_pred,
+  CAST(n_words AS INT) AS n_words,
+  CAST(n_bpe AS INT) AS n_bpe,
+  CAST(n_ws AS INT) AS n_ws,
+  (CASE WHEN n_chars BETWEEN 50 AND 10000 THEN 0.4 ELSE 0.0 END
+   + CASE WHEN CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) <= 0.1 THEN 0.3 ELSE 0.0 END
+   + CASE WHEN CAST(n_words AS DOUBLE) / greatest(n_ws, 1) >= 0.8 THEN 0.3 ELSE 0.0 END) AS quality
+FROM s
+"""

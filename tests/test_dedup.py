@@ -1,0 +1,129 @@
+"""Dedup / similarity / text-analysis / multimodal operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ingestr_spark.datagen import exactdup_tokens, neardup_tokens
+from ingestr_spark.functions.text import token_fingerprint
+from ingestr_spark.operators.dedup import (
+    embedding_near_dup,
+    exact_dedup,
+    minhash_similarity,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from ingestr_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    resize_stub,
+    synth_media,
+)
+from ingestr_spark.operators.similarity import brute_force_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def nd(spark, sf_dir):
+    df = neardup_tokens(spark, sf_dir)
+    df.persist().count()
+    return df
+
+
+def test_exact_dedup_halves_pairs(spark, sf_dir):
+    d = exactdup_tokens(spark, sf_dir).withColumn("fp", token_fingerprint("tokens"))
+    kept = exact_dedup(d, "fp", "id")
+    assert kept.count() == 250  # 500 docs in identical pairs -> 250 kept
+    assert kept.filter("id % 2 = 1").count() == 0  # min id of each pair is even
+
+
+def test_ngram_jaccard_finds_groups(nd):
+    pairs = ngram_jaccard_pairs(nd, "id", threshold=0.5)
+    # 100 groups of 5 docs -> C(5,2)=10 pairs each
+    assert pairs.count() == 1000
+    same_group = pairs.filter("id_a - id_a % 5 = id_b - id_b % 5")
+    assert same_group.count() == 1000
+    assert pairs.filter("jaccard <= 0 OR jaccard > 1").count() == 0
+
+
+def test_minhash_approximates_jaccard(nd):
+    mh = minhash_similarity(nd, "id", k=8, bands=4, threshold=0.5)
+    exact = ngram_jaccard_pairs(nd, "id", threshold=0.5)
+    mh_pairs = {(r["id_a"], r["id_b"]) for r in mh.collect()}
+    ex_pairs = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    # near-dup fixture pairs have jaccard ~0.9 -> minhash recall should be high
+    assert len(mh_pairs & ex_pairs) / len(ex_pairs) > 0.9
+    assert not (mh_pairs - ex_pairs)  # no false positives at this threshold
+
+
+def test_simhash_same_group_close(nd):
+    s = {r["id"]: r["simhash"] for r in simhash(nd, "id").collect()}
+    # identical-prefix docs differ in few bits; random pairs differ in many
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    same = [ham(s[i], s[i + 1]) for i in range(0, 50, 5)]
+    diff = [ham(s[i], s[i + 7]) for i in range(0, 50, 10)]
+    assert sum(same) / len(same) < sum(diff) / len(diff)
+
+
+def test_simhash_near_pairs_runs(nd):
+    p = simhash_near_pairs(nd, "id", max_hamming=1)
+    assert p.filter("hamming > 1").count() == 0
+
+
+def test_embedding_near_dup_symmetric_bounds(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = embedding_near_dup(emb, threshold=0.4)
+    rows = pairs.collect()
+    assert all(-1.0 <= r["cosine"] <= 1.0 for r in rows)
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+
+
+def test_brute_force_topk_shape(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
+    top = brute_force_topk(emb, q, k=3)
+    per_q = top.groupBy("query_id").count().collect()
+    assert all(r["count"] == 3 for r in per_q) and len(per_q) == 5
+    assert top.filter("query_id = vec_id").count() == 0
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
+    bf = brute_force_topk(emb, q, k=3)
+    # random 64-dim vectors are near-orthogonal (true top-3 cosine ~0.4), so
+    # use coarse 4-bit buckets: recall/speed tradeoff tilted to recall
+    ann = lsh_topk(emb, q, k=3, bits=4, multiprobe=True)
+    bf_set = {(r["query_id"], r["vec_id"]) for r in bf.collect()}
+    ann_set = {(r["query_id"], r["vec_id"]) for r in ann.collect()}
+    # LSH with multiprobe should recover a reasonable share of true top-3
+    assert len(ann_set & bf_set) / len(bf_set) >= 0.4
+
+
+def test_multimodal_features_stub(spark):
+    media = synth_media(spark, 20)
+    feats = extract_features(media, decoder="fake")
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(len(r["features"]) == 16 for r in rows)
+    again = {r["media_id"]: r["features"] for r in extract_features(media).collect()}
+    assert all(again[r["media_id"]] == r["features"] for r in rows)  # deterministic
+
+
+def test_multimodal_real_decoder_raises(spark):
+    media = synth_media(spark, 2)
+    with pytest.raises(Exception, match="NotImplementedError|not available"):
+        extract_features(media, decoder="real").collect()
+
+
+def test_resize_and_frame_plan(spark):
+    media = synth_media(spark, 10, kind="video")
+    resized = resize_stub(media, 224, 224)
+    assert resized.filter("width <> 224 OR height <> 224").count() == 0
+    plan = frame_sample_plan(media, every_ms=1000)
+    one = media.filter("media_id = 'm-000000005'").collect()[0]
+    n_frames = plan.filter("media_id = 'm-000000005'").count()
+    assert n_frames == (one["duration_ms"] + 999) // 1000
