@@ -335,6 +335,59 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+def q_bitqc_filter(spark, sf_dir):
+    """P8 bitfield QC: 16-bit word, MOD13Q1-style bit-window allow-lists."""
+    from ingestr_spark.operators.bitqc import PRODUCT_RULES, qc_bitfield_nullify
+
+    t = _tok(spark, sf_dir).withColumn("qcw", (F.col("id") * 40503) % 65536)
+    f = qc_bitfield_nullify(t, "n_tok", "qcw", PRODUCT_RULES["mod13q1"])
+    return f.groupBy("source").agg(
+        F.sum(F.when(F.col("n_tok").isNotNull(), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("n_tok").isNull(), 1).otherwise(0)).alias("n_nulled"),
+        F.sum("n_tok").alias("sum_n_tok_kept"),
+    )
+
+
+def q_pivot_events_daily(spark, sf_dir):
+    """R2 pivot_wider: event types to columns of daily counts."""
+    from ingestr_spark.operators.reshape import pivot_wider
+
+    apply_engine_conf(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "date", F.to_date("ts")
+    ).withColumn("one", F.lit(1))
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("date")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, kinds)
+    )
+    return out
+
+
+def q_sampling_period_tokens(spark, sf_dir):
+    """W2 sampling-cadence detection on the daily tier."""
+    from ingestr_spark.operators.tsutil import sampling_period
+
+    tier = (
+        _tok(spark, sf_dir)
+        .select("source", F.date_trunc("day", "ts").cast("date").alias("bucket"))
+        .distinct()
+    )
+    return sampling_period(tier, ["source"], "bucket")
+
+
+def q_depth_weighted_lineitem(spark, sf_dir):
+    """A11 depth-weighted aggregation (weights = l_linenumber)."""
+    from ingestr_spark.operators.tsutil import depth_weighted_mean
+
+    apply_engine_conf(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = depth_weighted_mean(li, "l_quantity", "l_linenumber", ["l_orderkey"])
+    return out.withColumn("l_quantity", F.round("l_quantity", 6))
+
+
 # ---------------- driver contract -------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -370,6 +423,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
         "text_stats": q_text_stats,
+        "bitqc_filter": q_bitqc_filter,
+        "pivot_events_daily": q_pivot_events_daily,
+        "sampling_period_tokens": q_sampling_period_tokens,
+        "depth_weighted_lineitem": q_depth_weighted_lineitem,
     }
 
 
@@ -401,4 +458,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": oracles.EMBEDDING_NEARDUP,
         "ann_topk": oracles.ANN_TOPK,
         "text_stats": oracles.TEXT_STATS,
+        "bitqc_filter": oracles.BITQC_FILTER,
+        "pivot_events_daily": oracles.PIVOT_EVENTS_DAILY,
+        "sampling_period_tokens": oracles.SAMPLING_PERIOD_TOKENS,
+        "depth_weighted_lineitem": oracles.DEPTH_WEIGHTED_LINEITEM,
     }

@@ -1,0 +1,105 @@
+"""Misc time-series utilities (SURVEY §2.5 A7/A11/A12, §2.6 W1/W2,
+§2.3 P11/P12, §2.1 S13).
+
+Small single-purpose operators the reference uses repeatedly, each a pure
+DataFrame composition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sampling_period(
+    df: DataFrame, key_cols: list[str] | None = None, date_col: str = "date",
+    value_col: str | None = None,
+) -> DataFrame:
+    """W2: per-key sampling cadence = min gap between consecutive non-null
+    observations (R/gapfill_interpol.R:419-425)."""
+    key_cols = key_cols or ["source"]
+    d = df if value_col is None else df.filter(F.col(value_col).isNotNull())
+    w = Window.partitionBy(*key_cols).orderBy(date_col)
+    gaps = d.withColumn("_gap", F.datediff(F.col(date_col), F.lag(date_col).over(w)))
+    return gaps.groupBy(*key_cols).agg(F.min("_gap").alias("period_days"))
+
+
+def lag_fill_cascade(
+    df: DataFrame, var: str, n_lags: int, key_cols: list[str] | None = None,
+    order_col: str = "date",
+) -> DataFrame:
+    """W1: fill nulls from the nearest of the previous ``n_lags`` values
+    (soil-layer lag cascade, R/ingest.R:955-992) — coalesce over lag 1..n."""
+    key_cols = key_cols or ["source"]
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    return df.withColumn(
+        var, F.coalesce(F.col(var), *[F.lag(var, i).over(w) for i in range(1, n_lags + 1)])
+    )
+
+
+def cross_pixel_mean(
+    df: DataFrame, pixel_col: str, mask: list[int], value_cols: list[str],
+    date_col: str = "date",
+) -> DataFrame:
+    """A7: spatial mean per date over a focal-mask pixel subset
+    (R/gapfill_interpol.R:332-382)."""
+    return (
+        df.filter(F.col(pixel_col).isin(mask))
+        .groupBy(date_col)
+        .agg(*[F.avg(c).alias(c) for c in value_cols])
+    )
+
+
+def depth_weighted_mean(
+    df: DataFrame, var: str, depth_col: str, key_cols: list[str] | None = None,
+) -> DataFrame:
+    """A11: sum(var · depth/total_depth) per key (soil profiles,
+    R/ingest_bysite.R:678-705; R/ingest_soilgrids.R:72-92)."""
+    key_cols = key_cols or ["sitename"]
+    w = Window.partitionBy(*key_cols)
+    z_tot = F.sum(depth_col).over(w)
+    weighted = df.withColumn("_wv", F.col(var) * F.col(depth_col) / z_tot)
+    return weighted.groupBy(*key_cols).agg(F.sum("_wv").alias(var))
+
+
+def completeness_audit(
+    df: DataFrame, value_cols: list[str], key_cols: list[str] | None = None,
+    min_non_null: int = 365,
+) -> DataFrame:
+    """A12: per-key non-null counts per column + a keep flag
+    (R/ingest.R:253-259; R/collect_drivers_sofun.R:126-148)."""
+    key_cols = key_cols or ["source"]
+    aggs = [F.count(c).alias(f"n_{c}") for c in value_cols]
+    out = df.groupBy(*key_cols).agg(*aggs)
+    keep = F.lit(True)
+    for c in value_cols:
+        keep = keep & (F.col(f"n_{c}") >= min_non_null)
+    return out.withColumn("keep", keep)
+
+
+def keep_requested_dates(
+    df: DataFrame, spine: DataFrame, on: list[str]
+) -> DataFrame:
+    """P11: restrict to requested (key, date) rows — semi-join against the
+    spine (right_join in the reference, R/ingest_bysite.R:483-485)."""
+    return df.join(spine.select(*on), on, "left_semi")
+
+
+def drop_failed_keys(
+    df: DataFrame, failed: DataFrame, on: list[str],
+    replacement: DataFrame | None = None,
+) -> DataFrame:
+    """P12: anti-join failed keys out, optionally union replacement rows
+    (R/ingest.R:304-307)."""
+    out = df.join(failed.select(*on).distinct(), on, "left_anti")
+    if replacement is not None:
+        out = out.unionByName(replacement)
+    return out
+
+
+def constant_source(
+    spine: DataFrame, var: str, value: float = 1.0
+) -> DataFrame:
+    """S13: constant variable over a spine (fapar_unity,
+    R/ingest_bysite.R:586-594)."""
+    return spine.withColumn(var, F.lit(value))

@@ -397,3 +397,58 @@ SELECT doc_id, lang,
    + CASE WHEN CAST(n_words AS DOUBLE) / greatest(n_ws, 1) >= 0.8 THEN 0.3 ELSE 0.0 END) AS quality
 FROM s
 """
+
+# ---- bitfield QC / reshape / tsutil oracles ---------------------------------
+
+# 16-bit QC word derived from id; mod13q1-style rules: bits0-1 in {0,1},
+# bits2-5 < 12. Mirrors operators/bitqc.py::qc_bitfield_nullify.
+BITQC_FILTER = f"""WITH {TOKENS_CTE},
+w AS (
+  SELECT source, n_tok,
+         (id * 40503) % 65536 AS qcw
+  FROM tok
+),
+f AS (
+  SELECT source, n_tok,
+         ((qcw >> 0) & 3) IN (0, 1) AND ((qcw >> 2) & 15) < 12 AS ok
+  FROM w
+)
+SELECT source,
+  CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_nulled,
+  CAST(SUM(CASE WHEN ok THEN n_tok END) AS BIGINT) AS sum_n_tok_kept
+FROM f GROUP BY 1
+"""
+
+PIVOT_EVENTS_DAILY = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS date,
+  count(*) FILTER (event_type = 'click')    AS click,
+  count(*) FILTER (event_type = 'error')    AS error,
+  count(*) FILTER (event_type = 'purchase') AS purchase,
+  count(*) FILTER (event_type = 'signup')   AS signup,
+  count(*) FILTER (event_type = 'view')     AS view
+FROM events GROUP BY 1
+"""
+
+SAMPLING_PERIOD_TOKENS = f"""WITH {TOKENS_CTE},
+tier AS (
+  SELECT source, CAST(date_trunc('day', ts) AS DATE) AS bucket
+  FROM tok GROUP BY 1, 2
+),
+g AS (
+  SELECT source,
+         date_diff('day', lag(bucket) OVER (PARTITION BY source ORDER BY bucket), bucket) AS gap
+  FROM tier
+)
+SELECT source, CAST(MIN(gap) AS INT) AS period_days FROM g GROUP BY 1
+"""
+
+DEPTH_WEIGHTED_LINEITEM = """
+WITH t AS (
+  SELECT l_orderkey,
+         SUM(l_quantity * l_linenumber) AS num,
+         SUM(l_linenumber) AS den
+  FROM lineitem GROUP BY 1
+)
+SELECT l_orderkey, ROUND(num / den, 6) AS l_quantity FROM t
+"""

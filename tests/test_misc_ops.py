@@ -1,0 +1,137 @@
+"""Bitfield QC, reshaping, and misc time-series utilities."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from ingestr_spark.operators.bitqc import (
+    BitRule,
+    apply_scale_factor,
+    apply_scale_factors_dim,
+    qc_bitfield_nullify,
+)
+from ingestr_spark.operators.reshape import (
+    dedup_by_priority,
+    expand_grid,
+    pivot_wider,
+    union_with_id,
+    unpivot_longer,
+)
+from ingestr_spark.operators.tsutil import (
+    completeness_audit,
+    constant_source,
+    cross_pixel_mean,
+    depth_weighted_mean,
+    drop_failed_keys,
+    keep_requested_dates,
+    lag_fill_cascade,
+    sampling_period,
+)
+
+
+def test_bitfield_rules(spark):
+    # qc=0b0000_01 (bits0-1=1 ok), qc=0b10 (bits0-1=2 bad)
+    df = spark.createDataFrame([(1.0, 1), (2.0, 2), (3.0, 0b110001 + 2)],
+                               "v double, qc int")
+    rules = [BitRule(0, 2, (0, 1))]
+    out = qc_bitfield_nullify(df, "v", "qc", rules)
+    got = [r["v"] for r in out.orderBy("qc").collect()]
+    assert got == [1.0, None, None]
+
+
+def test_scale_factors(spark):
+    df = spark.createDataFrame([("b1", 2.0), ("b2", 2.0)], "band string, v double")
+    assert apply_scale_factor(df, "v", 0.5).collect()[0]["v"] == 1.0
+    dim = spark.createDataFrame([("b1", 10.0)], "band string, scale_factor double")
+    out = {r["band"]: r["v"] for r in apply_scale_factors_dim(df, "v", "band", dim).collect()}
+    assert out == {"b1": 20.0, "b2": 2.0}  # missing factor -> 1.0
+
+
+def test_unpivot_pivot_roundtrip(spark):
+    df = spark.createDataFrame([(1, 10.0, 20.0)], "id int, a double, b double")
+    long = unpivot_longer(df, ["id"], ["a", "b"])
+    assert long.count() == 2
+    wide = pivot_wider(long, ["id"], "name", "value", values=["a", "b"])
+    r = wide.collect()[0]
+    assert (r["a"], r["b"]) == (10.0, 20.0)
+
+
+def test_expand_grid(spark):
+    g = expand_grid(spark, (2020, 2022))
+    assert g.count() == 36
+    assert g.select(F.min("moy"), F.max("moy")).collect()[0][0:2] == (1, 12)
+
+
+def test_dedup_by_priority(spark):
+    df = spark.createDataFrame(
+        [("k", 1, "low"), ("k", 9, "high"), ("j", 5, "only")],
+        "key string, prio int, tag string",
+    )
+    out = {r["key"]: r["tag"] for r in dedup_by_priority(df, ["key"], "prio").collect()}
+    assert out == {"k": "high", "j": "only"}
+
+
+def test_union_with_id(spark):
+    a = spark.createDataFrame([(1,)], "x int")
+    b = spark.createDataFrame([(2,)], "x int")
+    out = union_with_id({"s1": a, "s2": b})
+    assert {(r["sitename"], r["x"]) for r in out.collect()} == {("s1", 1), ("s2", 2)}
+
+
+def test_sampling_period(spark):
+    rows = [("a", dt.date(2021, 1, d)) for d in (1, 5, 9, 13)] + [
+        ("b", dt.date(2021, 1, d)) for d in (1, 2)
+    ]
+    df = spark.createDataFrame(rows, "source string, date date")
+    got = {r["source"]: r["period_days"] for r in sampling_period(df).collect()}
+    assert got == {"a": 4, "b": 1}
+
+
+def test_lag_fill_cascade(spark):
+    rows = [("a", 1, 10.0), ("a", 2, None), ("a", 3, None), ("a", 4, None)]
+    df = spark.createDataFrame(rows, "source string, date int, v double")
+    out = lag_fill_cascade(df, "v", n_lags=2, order_col="date")
+    got = [r["v"] for r in out.orderBy("date").collect()]
+    assert got == [10.0, 10.0, 10.0, None]  # only reaches 2 back
+
+
+def test_cross_pixel_mean(spark):
+    rows = [(1, dt.date(2021, 1, 1), 10.0), (2, dt.date(2021, 1, 1), 20.0),
+            (99, dt.date(2021, 1, 1), 1000.0)]
+    df = spark.createDataFrame(rows, "pixel int, date date, v double")
+    out = cross_pixel_mean(df, "pixel", [1, 2], ["v"]).collect()
+    assert out[0]["v"] == 15.0  # masked pixel 99 excluded
+
+
+def test_depth_weighted_mean(spark):
+    df = spark.createDataFrame(
+        [("s", 10.0, 1.0), ("s", 20.0, 3.0)], "sitename string, v double, depth double"
+    )
+    out = depth_weighted_mean(df, "v", "depth").collect()[0]
+    assert out["v"] == (10 * 1 + 20 * 3) / 4
+
+
+def test_completeness_audit(spark):
+    rows = [("a", float(i)) for i in range(400)] + [("b", 1.0), ("b", None)]
+    df = spark.createDataFrame(rows, "source string, v double")
+    out = {r["source"]: (r["n_v"], r["keep"]) for r in
+           completeness_audit(df, ["v"], min_non_null=365).collect()}
+    assert out["a"] == (400, True) and out["b"] == (1, False)
+
+
+def test_semi_and_anti_joins(spark):
+    df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 1)], "k string, d int")
+    spine = spark.createDataFrame([("a", 1), ("b", 1)], "k string, d int")
+    kept = keep_requested_dates(df, spine, ["k", "d"])
+    assert kept.count() == 2
+    failed = spark.createDataFrame([("a",)], "k string")
+    rest = drop_failed_keys(df, failed, ["k"])
+    assert [r["k"] for r in rest.collect()] == ["b"]
+
+
+def test_constant_source(spark):
+    spine = spark.createDataFrame([("a", dt.date(2021, 1, 1))], "source string, date date")
+    out = constant_source(spine, "fapar", 1.0).collect()[0]
+    assert out["fapar"] == 1.0
