@@ -148,6 +148,66 @@ class AggregateStore:
             prev = t
         return built
 
+    # ---- incremental maintenance (continuous aggregates) ------------------
+    def incremental_update(self, tier: str, new_raw: DataFrame, job_id: str | None = None) -> list[str]:
+        """Merge NEW raw rows into one tier without touching unaffected
+        partitions: aggregate the delta, union it with the existing rows of
+        the affected months, recombine algebraically (sum/count/min/max
+        compose — same property the cascade relies on), dynamic-overwrite
+        only those month partitions. This is incremental materialized-view
+        maintenance; with Iceberg the write would be a MERGE INTO.
+
+        Returns the list of refreshed months.
+        """
+        import uuid as _uuid
+
+        job_id = job_id or _uuid.uuid4().hex[:12]
+        # idempotence: a retried micro-batch (same job_id, e.g. streaming
+        # batchId) must not double-merge its delta
+        m = self.read_manifest(tier)
+        if m is not None and m.filter(F.col("job_id") == job_id).limit(1).count() > 0:
+            return []
+        delta = rollup_from_raw(new_raw, tier).withColumn(
+            "p_month", F.date_format("bucket", "yyyy-MM")
+        )
+        months = [r["p_month"] for r in delta.select("p_month").distinct().collect()]
+        if not months:
+            return []
+        acc = ["n_seq", "sum_n_tok", "min_n_tok", "max_n_tok",
+               "tok_sum", "tok_min", "tok_max", "qc_ok_cnt"]
+        cols = ["source", "bucket", *acc, "avg_n_tok", "qc_frac", "p_month"]
+        try:
+            existing = self.read_tier(tier).filter(F.col("p_month").isin(months))
+            merged_src = existing.select(*cols).unionByName(delta.select(*cols))
+        except Exception:
+            merged_src = delta.select(*cols)  # first-ever write
+        merged = rollup_cascade(merged_src, tier).withColumn(
+            "p_month", F.date_format("bucket", "yyyy-MM")
+        )
+        # the merge READS the same partitions the write OVERWRITES — cut the
+        # lineage first or the scan hits deleted files mid-write. (Iceberg's
+        # snapshot isolation makes this a non-issue; for parquet paths an
+        # eager localCheckpoint materializes the merged rows.)
+        merged = merged.localCheckpoint(eager=True)
+        merged.repartition("p_month", "source").write.mode("overwrite").partitionBy(
+            "p_month"
+        ).parquet(self.tier_path(tier))
+        stats = (
+            merged.groupBy("p_month")
+            .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("n_seq").alias("sum_n_seq"))
+            .collect()
+        )
+        import time as _time
+
+        now = _time.time()
+        self._log(tier, [
+            {"p_month": r["p_month"], "n_rows": r["n_rows"],
+             "sum_n_seq": r["sum_n_seq"], "wall_ms": 0, "job_id": job_id,
+             "completed_at": now}
+            for r in stats
+        ])
+        return sorted(months)
+
     # ---- verification + retention ----------------------------------------
     def verify_cascade(self, finer: str, coarser: str) -> DataFrame:
         """Month-level check that the coarser tier conserves the finer tier's

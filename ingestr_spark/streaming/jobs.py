@@ -1,0 +1,88 @@
+"""Structured Streaming maintenance of the continuous-aggregate store.
+
+The reference is batch-only (SURVEY §2.10: no watermarks / stateful
+streaming); its closest analog is the incremental CSV cache (S12). This
+module maps that to Spark's native incremental machinery:
+
+* file-source ``readStream`` over the token-table directory (new parquet
+  files = new micro-batch),
+* ``Trigger.AvailableNow`` — process everything available, then stop
+  (the batch-refresh cadence the north rule's jobs use; a live cluster
+  would use a processing-time trigger instead),
+* ``foreachBatch`` → :meth:`AggregateStore.incremental_update` keyed by the
+  streaming ``batchId``, so retried batches are idempotent (exactly-once
+  tier maintenance on top of the at-least-once sink contract),
+* the 1h→1d→1mo cascade refreshes from the 1h delta inside the same batch.
+
+A watermark + window variant (for true event-time lateness handling) is
+:func:`windowed_counts_stream` — used where per-(source, window) counts are
+needed as a stream rather than a maintained table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ingestr_spark.retention import AggregateStore
+
+
+def refresh_store_availablenow(
+    spark: SparkSession,
+    input_path: str,
+    store_root: str,
+    checkpoint: str,
+    schema=None,
+    tiers: tuple[str, ...] = ("1h",),
+) -> None:
+    """Drain all unprocessed input files into the aggregate store, then stop.
+
+    Resume = re-run: the checkpoint remembers which files were consumed, the
+    manifest job_id (= batch id) makes replayed batches no-ops.
+    """
+    if schema is None:
+        schema = spark.read.parquet(input_path).schema  # StructType, not DDL
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_path)
+    )
+    store = AggregateStore(spark, store_root)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        for tier in tiers:
+            store.incremental_update(tier, batch_df, job_id=f"stream-{tier}-{batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def windowed_counts_stream(
+    raw_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key: str = "source",
+) -> DataFrame:
+    """Event-time windowed aggregation with late-data watermarking — the
+    streaming form of the 1h tier. Append-mode-compatible (final counts
+    emitted once the watermark passes the window end)."""
+    return (
+        raw_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), F.col(key))
+        .agg(
+            F.count(F.lit(1)).alias("n_seq"),
+            F.sum("n_tok").alias("sum_n_tok"),
+            F.min("n_tok").alias("min_n_tok"),
+            F.max("n_tok").alias("max_n_tok"),
+        )
+        .select(
+            key, F.col("win.start").alias("bucket"), "n_seq",
+            "sum_n_tok", "min_n_tok", "max_n_tok",
+        )
+    )
