@@ -1,0 +1,77 @@
+"""Physical-plan assertions: the scale properties the engine relies on must
+survive refactors (SURVEY §4). These parse executedPlan strings — crude but
+effective regression guards."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ingestr_spark.operators.gapfill import doy_climatology_fill
+from ingestr_spark.operators.met import bias_correct_monthly
+from ingestr_spark.operators.rollup import rollup_from_raw
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def tok_parquet(spark, tmp_path_factory):
+    from ingestr_spark.datagen import synth_tokens
+
+    p = str(tmp_path_factory.mktemp("plans") / "tok")
+    synth_tokens(spark, 2000, max_ntok=32).write.parquet(p)
+    return spark.read.parquet(p)
+
+
+def test_column_pruning_skips_tokens(tok_parquet):
+    """A rollup that doesn't need token stats must not scan the array col."""
+    slim = tok_parquet.groupBy(
+        "source", F.date_trunc("day", "ts").alias("b")
+    ).agg(F.sum("n_tok").alias("s"))
+    scan = [l for l in _plan(slim).splitlines() if "ReadSchema" in l][0]
+    assert "tokens" not in scan
+    assert "n_tok" in scan and "source" in scan
+
+
+def test_filter_pushdown_reaches_scan(tok_parquet):
+    f = tok_parquet.filter((F.col("source") == "hot") & (F.col("n_tok") > 10)).select(
+        "source", "n_tok"
+    )
+    plan = _plan(f)
+    scan = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "GreaterThan(n_tok" in scan or "n_tok" in scan.split("PushedFilters")[1]
+
+
+def test_rollup_has_partial_and_final_agg(tok_parquet):
+    plan = _plan(rollup_from_raw(tok_parquet, "1d"))
+    # partial (map-side) + final agg around exactly one exchange
+    assert plan.count("HashAggregate") == 2
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_climatology_join_broadcasts(tok_parquet):
+    tier = rollup_from_raw(tok_parquet, "1d").withColumn(
+        "bucket", F.col("bucket").cast("date")
+    )
+    filled = doy_climatology_fill(
+        tier.select("source", "bucket", F.col("avg_n_tok").alias("v")), ["v"]
+    )
+    assert "BroadcastHashJoin" in _plan(filled)
+
+
+def test_bias_correction_broadcasts_climatology(tok_parquet):
+    t = tok_parquet.withColumn("date", F.to_date("ts")).withColumn(
+        "v", F.col("n_tok").cast("double")
+    )
+    out = bias_correct_monthly(t, t, "v", key_cols=["source"])
+    assert "BroadcastHashJoin" in _plan(out)
+
+
+def test_no_cartesian_in_minhash(spark, sf_dir):
+    from ingestr_spark.datagen import neardup_tokens
+    from ingestr_spark.operators.dedup import minhash_similarity
+
+    pairs = minhash_similarity(neardup_tokens(spark, sf_dir), "id")
+    assert "CartesianProduct" not in _plan(pairs)
