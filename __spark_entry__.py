@@ -388,6 +388,32 @@ def q_depth_weighted_lineitem(spark, sf_dir):
     return out.withColumn("l_quantity", F.round("l_quantity", 6))
 
 
+def q_downscale_step(spark, sf_dir):
+    """G7 step-method monthly->daily downscaling on full-year groups."""
+    from ingestr_spark.operators.downscale import downscale_monthly
+
+    t = _tok(spark, sf_dir)
+    m = t.groupBy(
+        F.col("source").alias("sitename"),
+        F.year("ts").alias("year"),
+        F.month("ts").alias("moy"),
+    ).agg((F.sum("n_tok").cast("double") / F.count(F.lit(1))).alias("v"))
+    out = downscale_monthly(m, ["v"], method="step", key_col="sitename")
+    return out.select("sitename", "date", "v")
+
+
+def q_gapfill_locf_1mo(spark, sf_dir):
+    """Monthly tier (15th-anchored) LOCF over a per-source monthly spine."""
+    tier = (
+        rollup_from_raw(_tok(spark, sf_dir), "1mo")
+        .withColumn("bucket", anchor_month_15(F.col("bucket")))
+        .select("source", "bucket", "sum_n_tok")
+    )
+    j = spine_join(tier, step="interval 1 month")
+    j = j.withColumn("gap", F.col("sum_n_tok").isNull())
+    return locf(j, ["sum_n_tok"]).select("source", "bucket", "gap", "sum_n_tok")
+
+
 # ---------------- driver contract -------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -427,6 +453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_events_daily": q_pivot_events_daily,
         "sampling_period_tokens": q_sampling_period_tokens,
         "depth_weighted_lineitem": q_depth_weighted_lineitem,
+        "downscale_step": q_downscale_step,
+        "gapfill_locf_1mo": q_gapfill_locf_1mo,
     }
 
 
@@ -462,4 +490,6 @@ def oracle_sql() -> dict[str, str]:
         "pivot_events_daily": oracles.PIVOT_EVENTS_DAILY,
         "sampling_period_tokens": oracles.SAMPLING_PERIOD_TOKENS,
         "depth_weighted_lineitem": oracles.DEPTH_WEIGHTED_LINEITEM,
+        "downscale_step": oracles.DOWNSCALE_STEP,
+        "gapfill_locf_1mo": oracles.GAPFILL_LOCF_1MO,
     }

@@ -203,7 +203,15 @@ def downscale_monthly(
     def expand(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(moy_col)
         if len(pdf) != 12:
-            return pd.DataFrame({f.name: [] for f in schema.fields})
+            # dtype-correct empty frame (a bare [] defaults to float64,
+            # which Arrow refuses to cast to date32)
+            empty = {key_col: pd.Series([], dtype=object),
+                     "date": pd.Series([], dtype="datetime64[ns]")}
+            for c in value_cols:
+                empty[c] = pd.Series([], dtype="float64")
+            if prec_col:
+                empty[prec_col] = pd.Series([], dtype="float64")
+            return pd.DataFrame(empty)
         key = pdf[key_col].iloc[0]
         year = int(pdf[year_col].iloc[0])
         leap = (not noleap) and is_leap(year)

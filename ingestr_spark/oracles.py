@@ -452,3 +452,48 @@ WITH t AS (
 )
 SELECT l_orderkey, ROUND(num / den, 6) AS l_quantity FROM t
 """
+
+# ---- downscale (step) + monthly-grain gap-fill oracles -----------------------
+
+# G7 step method: monthly mean repeated over the month's days, only for
+# (source, year) groups with all 12 months present (the kernel's contract).
+DOWNSCALE_STEP = f"""WITH {TOKENS_CTE},
+m AS (
+  SELECT source, CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS moy,
+         CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS v
+  FROM tok GROUP BY 1, 2, 3
+),
+fully AS (SELECT source, y FROM m GROUP BY 1, 2 HAVING COUNT(*) = 12),
+days AS (
+  SELECT f.source, f.y,
+         CAST(unnest(generate_series(make_date(f.y, 1, 1), make_date(f.y, 12, 31),
+                                     INTERVAL 1 DAY)) AS DATE) AS date
+  FROM fully f
+)
+SELECT d.source AS sitename, d.date, mm.v
+FROM days d JOIN m mm
+  ON mm.source = d.source AND mm.y = year(d.date) AND mm.moy = month(d.date)
+"""
+
+# monthly tier (anchored 15th) LOCF over a per-source monthly spine
+GAPFILL_LOCF_1MO = f"""WITH {TOKENS_CTE},
+tier AS (
+  SELECT source, CAST(date_trunc('month', ts) + INTERVAL 14 DAY AS DATE) AS bucket,
+         CAST(SUM(n_tok) AS BIGINT) AS sum_n_tok
+  FROM tok GROUP BY 1, 2
+),
+bounds AS (SELECT source, MIN(bucket) AS lo, MAX(bucket) AS hi FROM tier GROUP BY 1),
+spine AS (
+  SELECT source, CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE) AS bucket
+  FROM bounds
+),
+joined AS (
+  SELECT s.source, s.bucket, t.sum_n_tok, t.sum_n_tok IS NULL AS gap
+  FROM spine s LEFT JOIN tier t USING (source, bucket)
+)
+SELECT source, bucket, gap,
+  last_value(sum_n_tok IGNORE NULLS) OVER (
+    PARTITION BY source ORDER BY bucket
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_n_tok
+FROM joined
+"""
