@@ -414,6 +414,24 @@ def q_gapfill_locf_1mo(spark, sf_dir):
     return locf(j, ["sum_n_tok"]).select("source", "bucket", "gap", "sum_n_tok")
 
 
+
+def q_json_props_events(spark, sf_dir):
+    """F8-class string/semi-structured extraction: pull props.k and
+    aggregate. get_json_object and the regexp path agree (asserted here);
+    the regexp column is the oracle-compared one."""
+    apply_engine_conf(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k_re = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("int")
+    k_json = F.get_json_object("props", "$.k").cast("int")
+    ev = ev.withColumn("k", F.when(k_json == k_re, k_re))  # null if they disagree
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
 # ---------------- driver contract -------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -455,6 +473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "depth_weighted_lineitem": q_depth_weighted_lineitem,
         "downscale_step": q_downscale_step,
         "gapfill_locf_1mo": q_gapfill_locf_1mo,
+        "json_props_events": q_json_props_events,
     }
 
 
@@ -492,4 +511,5 @@ def oracle_sql() -> dict[str, str]:
         "depth_weighted_lineitem": oracles.DEPTH_WEIGHTED_LINEITEM,
         "downscale_step": oracles.DOWNSCALE_STEP,
         "gapfill_locf_1mo": oracles.GAPFILL_LOCF_1MO,
+        "json_props_events": oracles.JSON_PROPS_EVENTS,
     }

@@ -497,3 +497,15 @@ SELECT source, bucket, gap,
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_n_tok
 FROM joined
 """
+
+# ---- semi-structured props extraction ---------------------------------------
+# regexp-based field extraction (portable across engines; Spark side also
+# demonstrates get_json_object, compared via the regexp column)
+JSON_PROPS_EVENTS = r"""
+SELECT event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT)) AS BIGINT) AS sum_k,
+  MIN(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT)) AS min_k,
+  MAX(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT)) AS max_k
+FROM events GROUP BY 1
+"""
