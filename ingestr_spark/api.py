@@ -166,3 +166,73 @@ def ingest(
             F.sort_array(F.collect_list(F.struct(*data_cols))).alias("data")
         )
     return out
+
+
+# ---- forcing assembly (SURVEY §3.3, R/collect_drivers_sofun.R) ---------------
+
+FORCING_VARS = ["ppfd", "rain", "snow", "prec", "temp", "patm", "vpd",
+                "ccov", "tmin", "tmax"]
+
+
+def collect_drivers(
+    meteo: DataFrame,
+    fapar: DataFrame | None = None,
+    co2: DataFrame | None = None,
+    min_non_missing: int = 365,
+    gapfill: bool = True,
+    nest: bool = False,
+) -> DataFrame:
+    """Assemble per-site model forcing (collect_drivers_sofun semantics,
+    R/collect_drivers_sofun.R:47-213):
+
+    1. default-column synthesis: snow=0, rain=prec, tmin=tmax=temp when
+       absent (:53-77),
+    2. required-variable check (:79-89) — raises on missing forcing vars,
+    3. join meteo ⟕ fapar ⟕ co2 on (sitename, date) (:95-123),
+    4. completeness audit: drop sites with < min_non_missing non-null days
+       in any forcing variable (:126-149),
+    5. residual gap-fill: linear interpolation then per-(site, day-of-year)
+       climatology (:151-213).
+
+    The reference nests per site and loops; here it is one flat plan —
+    ``nest=True`` reproduces the nested handoff.
+    """
+    from ingestr_spark.operators.gapfill import (
+        doy_climatology_fill,
+        interpolate_linear,
+    )
+    from ingestr_spark.operators.tsutil import completeness_audit, drop_failed_keys
+
+    out = meteo
+    if "snow" not in out.columns:
+        out = out.withColumn("snow", F.lit(0.0))
+    if "rain" not in out.columns and "prec" in out.columns:
+        out = out.withColumn("rain", F.col("prec"))
+    if "tmin" not in out.columns and "temp" in out.columns:
+        out = out.withColumn("tmin", F.col("temp")).withColumn("tmax", F.col("temp"))
+    missing = [v for v in FORCING_VARS if v not in out.columns]
+    if missing:
+        raise ValueError(f"variables missing in meteo frame: {', '.join(missing)}")
+
+    if fapar is not None:
+        out = out.join(fapar.select("sitename", "date", "fapar"),
+                       ["sitename", "date"], "left")
+    if co2 is not None:
+        out = out.join(co2.select("sitename", "date", "co2"),
+                       ["sitename", "date"], "left")
+
+    audit = completeness_audit(out, FORCING_VARS, ["sitename"], min_non_missing)
+    bad = audit.filter(~F.col("keep"))
+    out = drop_failed_keys(out, bad, ["sitename"])
+
+    if gapfill:
+        fill_cols = [c for c in [*FORCING_VARS, "fapar", "co2"] if c in out.columns]
+        out = interpolate_linear(out, fill_cols, ["sitename"], "date")
+        out = doy_climatology_fill(out, fill_cols, ["sitename"], "date")
+
+    if nest:
+        data_cols = [c for c in out.columns if c != "sitename"]
+        return out.groupBy("sitename").agg(
+            F.sort_array(F.collect_list(F.struct(*data_cols))).alias("forcing")
+        )
+    return out

@@ -92,3 +92,72 @@ def test_ingest_tokens_source(spark, sf_dir):
     # dense noleap spine over 3 years
     assert out.count() == 3 * 365
     assert out.filter("n_seq IS NOT NULL").count() > 0
+
+
+# ---- collect_drivers (SURVEY §3.3) ------------------------------------------
+
+def _meteo(spark, n_days=400, site="s1", with_gaps=True):
+    import datetime as dt
+
+    rows = []
+    for i in range(n_days):
+        d = dt.date(2020, 1, 1) + dt.timedelta(days=i)
+        gap = with_gaps and (i % 50 == 7)
+        rows.append((site, d,
+                     None if gap else 10.0 + i % 10,   # temp
+                     1.0, 2.0, 101325.0, 500.0, 0.5, 30.0))
+    return spark.createDataFrame(
+        rows,
+        "sitename string, date date, temp double, prec double, ppfd double,"
+        "patm double, vpd double, ccov double, fapar_ignore double",
+    ).drop("fapar_ignore")
+
+
+def test_collect_drivers_defaults_and_gapfill(spark):
+    from ingestr_spark.api import collect_drivers
+
+    meteo = _meteo(spark)
+    out = collect_drivers(meteo, min_non_missing=300)
+    # synthesized defaults present
+    assert {"snow", "rain", "tmin", "tmax"} <= set(out.columns)
+    r = out.orderBy("date").limit(1).collect()[0]
+    assert r["snow"] == 0.0 and r["rain"] == r["prec"] and r["tmin"] == r["temp"]
+    # gaps filled
+    assert out.filter("temp IS NULL").count() == 0
+
+
+def test_collect_drivers_drops_incomplete_sites(spark):
+    from ingestr_spark.api import collect_drivers
+
+    good = _meteo(spark, 400, "good")
+    bad = _meteo(spark, 100, "bad", with_gaps=False)  # < 365 days
+    out = collect_drivers(good.unionByName(bad), min_non_missing=365, gapfill=False)
+    assert [r["sitename"] for r in out.select("sitename").distinct().collect()] == ["good"]
+
+
+def test_collect_drivers_missing_var_raises(spark):
+    from ingestr_spark.api import collect_drivers
+
+    meteo = _meteo(spark).drop("vpd")
+    with pytest.raises(ValueError, match="vpd"):
+        collect_drivers(meteo)
+
+
+def test_collect_drivers_joins_fapar_co2_and_nests(spark):
+    import datetime as dt
+
+    from ingestr_spark.api import collect_drivers
+
+    meteo = _meteo(spark, 370)
+    days = [r["date"] for r in meteo.select("date").collect()]
+    fapar = spark.createDataFrame(
+        [("s1", d, 0.8) for d in days], "sitename string, date date, fapar double"
+    )
+    co2 = spark.createDataFrame(
+        [("s1", d, 415.0) for d in days], "sitename string, date date, co2 double"
+    )
+    out = collect_drivers(meteo, fapar, co2, min_non_missing=300, nest=True)
+    rows = out.collect()
+    assert len(rows) == 1
+    first = rows[0]["forcing"][0]
+    assert first["fapar"] == 0.8 and first["co2"] == 415.0
