@@ -117,3 +117,71 @@ def quantile_consistency_nullify(
     out = df.join(F.broadcast(q), on=key_cols, how="left")
     bad = (F.col(residual_col) < F.col("_rlo")) | (F.col(residual_col) > F.col("_rhi"))
     return out.withColumn(var, F.when(bad, None).otherwise(F.col(var))).drop("_rlo", "_rhi")
+
+
+def negative_nullify(df: DataFrame, var: str) -> DataFrame:
+    """NULL out negative values (replace_with_na_neg,
+    R/get_obs_bysite_fluxnet.R:1318-1321)."""
+    return df.withColumn(var, F.when(F.col(var) < 0, None).otherwise(F.col(var)))
+
+
+def clean_gpp(
+    df: DataFrame,
+    nt_col: str = "gpp_nt",
+    dt_col: str = "gpp_dt",
+    nt_qc: str = "nee_night_qc",
+    dt_qc: str = "nee_day_qc",
+    hh_qc: str = "nee_qc",
+    threshold: float = 0.8,
+    freq: str = "d",
+    filter_ntdt: bool = True,
+    remove_neg: bool = False,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Composite GPP cleaning (clean_fluxnet_gpp,
+    R/get_obs_bysite_fluxnet.R:1297-1388; criteria of Tramontana et al. 2016):
+
+    1. QC nullify — fraction rule (qc < threshold) for d/w/m/y, code rule
+       (qc > 1) for hh;
+    2. NT↔DT consistency: nullify BOTH decompositions where their residual
+       falls outside its [2.5%, 97.5%] quantiles (per key — the reference is
+       single-site so its quantiles are implicitly per site);
+    3. Tukey-IQR outlier removal on each series (coef 1.5);
+    4. optional negative removal.
+
+    All steps compose existing primitives; quantiles are exact
+    ``percentile`` per key, broadcast back.
+    """
+    key_cols = key_cols or ["sitename"]
+    if freq != "hh":
+        df = qc_nullify(df, nt_col, nt_qc, threshold)
+        df = qc_nullify(df, dt_col, dt_qc, threshold)
+    else:
+        df = qc_code_nullify(df, nt_col, hh_qc, max_code=1)
+        df = qc_code_nullify(df, dt_col, hh_qc, max_code=1)
+    if filter_ntdt:
+        df = df.withColumn("_res", F.col(nt_col) - F.col(dt_col))
+        df = quantile_consistency_nullify(df, nt_col, "_res", key_cols)
+        df = quantile_consistency_nullify(df, dt_col, "_res", key_cols)
+        df = df.drop("_res")
+    df = iqr_outlier_nullify(df, nt_col, key_cols)
+    df = iqr_outlier_nullify(df, dt_col, key_cols)
+    if remove_neg:
+        df = negative_nullify(df, nt_col)
+        df = negative_nullify(df, dt_col)
+    return df
+
+
+def clean_energy(
+    df: DataFrame,
+    flux_col: str,
+    qc_col: str,
+    threshold: float,
+    key_cols: list[str] | None = None,
+    max_repeats: int = 3,
+) -> DataFrame:
+    """Energy-flux cleaning (clean_fluxnet_energy + identify_pattern,
+    R/get_obs_bysite_fluxnet.R:1390-1404, 1426-1453): QC threshold nullify
+    then repeated-value pattern removal."""
+    df = qc_nullify(df, flux_col, qc_col, threshold)
+    return repeated_value_nullify(df, flux_col, key_cols or ["sitename"], max_repeats)

@@ -103,3 +103,21 @@ def constant_source(
     """S13: constant variable over a spine (fapar_unity,
     R/ingest_bysite.R:586-594)."""
     return spine.withColumn(var, F.lit(value))
+
+
+def reconstruct_hourly_timestamps(
+    df: DataFrame, date_col: str = "date", idx_col: str = "row_idx",
+    per_day: int = 24, out_col: str = "ts",
+) -> DataFrame:
+    """S5: rebuild sub-daily timestamps from a per-day row index
+    (WFDE5 hour-of-day reconstruction, R/ingest_globalfields.R:766-915:
+    hod = row index mod 24, dom = ceiling(row/24)) — here a pure expression:
+    ts = date + (idx % per_day) * (86400/per_day) seconds."""
+    step = 86400 // per_day
+    return df.withColumn(
+        out_col,
+        F.timestamp_seconds(
+            F.unix_timestamp(F.col(date_col).cast("timestamp"))
+            + (F.col(idx_col) % per_day) * step
+        ),
+    )

@@ -52,3 +52,44 @@ def test_norm_to_max(spark):
     df = spark.createDataFrame([("k", 0.0), ("k", 5.0), ("k", 10.0)], "source string, v double")
     out = norm_to_max(df, "v")
     assert sorted(r["v"] for r in out.collect()) == [0.0, 0.5, 1.0]
+
+
+def test_clean_gpp_composite(spark):
+    from ingestr_spark.operators.clean import clean_gpp
+
+    rows = []
+    for i in range(40):
+        nt = float(i % 10 + 1)
+        dt_ = nt + (5.0 if i == 5 else 0.05)  # i=5: inconsistent NT vs DT
+        ntq = 0.2 if i == 3 else 0.9          # i=3: bad NT qc
+        rows.append(("s", nt if i != 7 else 500.0, dt_, ntq, 0.9))
+    df = spark.createDataFrame(
+        rows, "sitename string, gpp_nt double, gpp_dt double,"
+        "nee_night_qc double, nee_day_qc double"
+    )
+    out = clean_gpp(df, threshold=0.8)
+    assert out.filter("gpp_nt IS NULL").count() >= 3  # qc + residual + outlier
+    assert out.filter("gpp_nt = 500.0").count() == 0  # IQR removed the spike
+
+
+def test_clean_gpp_remove_neg(spark):
+    from ingestr_spark.operators.clean import clean_gpp
+
+    rows = [("s", float(v), float(v), 1.0, 1.0) for v in [-2, 1, 2, 3, 4, 5, -1, 2, 3, 4]]
+    df = spark.createDataFrame(
+        rows, "sitename string, gpp_nt double, gpp_dt double,"
+        "nee_night_qc double, nee_day_qc double"
+    )
+    out = clean_gpp(df, filter_ntdt=False, remove_neg=True)
+    assert out.filter("gpp_nt < 0").count() == 0
+
+
+def test_clean_energy(spark):
+    from ingestr_spark.operators.clean import clean_energy
+
+    rows = [("s", 5.0, 0.9)] * 5 + [("s", 7.0, 0.9), ("s", 9.0, 0.1)]
+    df = spark.createDataFrame(rows, "sitename string, le double, le_qc double")
+    out = clean_energy(df, "le", "le_qc", threshold=0.5)
+    assert out.filter("le = 5.0").count() == 0   # repeated >3 removed
+    assert out.filter("le = 9.0").count() == 0   # bad qc removed
+    assert out.filter("le = 7.0").count() == 1

@@ -135,3 +135,14 @@ def test_constant_source(spark):
     spine = spark.createDataFrame([("a", dt.date(2021, 1, 1))], "source string, date date")
     out = constant_source(spine, "fapar", 1.0).collect()[0]
     assert out["fapar"] == 1.0
+
+
+def test_reconstruct_hourly_timestamps(spark):
+    from ingestr_spark.operators.tsutil import reconstruct_hourly_timestamps
+
+    df = spark.createDataFrame(
+        [(dt.date(2021, 1, 1), i) for i in range(48)], "date date, row_idx int"
+    )
+    out = reconstruct_hourly_timestamps(df, per_day=24)
+    hours = [r["ts"].hour for r in out.orderBy("row_idx").collect()]
+    assert hours == list(range(24)) * 2
