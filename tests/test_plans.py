@@ -75,3 +75,17 @@ def test_no_cartesian_in_minhash(spark, sf_dir):
 
     pairs = minhash_similarity(neardup_tokens(spark, sf_dir), "id")
     assert "CartesianProduct" not in _plan(pairs)
+
+
+def test_tier_scan_prunes_partitions(spark, tok, tmp_path):
+    """S4: reading one month from a tier store must prune partitions at the
+    scan (the Iceberg-native behavior, parquet-partition equivalent)."""
+    from ingestr_spark.retention import AggregateStore
+
+    store = AggregateStore(spark, str(tmp_path / "prune"))
+    store.build_tier("1d", tok)
+    months = sorted(store.completed_months("1d"))
+    one = store.read_tier("1d").filter(F.col("p_month") == months[0])
+    plan = _plan(one)
+    scan = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "p_month" in scan.split("PartitionFilters")[1][:120]
