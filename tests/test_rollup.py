@@ -62,3 +62,29 @@ def test_counts_conserve_through_cascade(tok):
     tiers = build_all_tiers(tok, ("1h", "1d", "1mo"))
     for t, df in tiers.items():
         assert df.agg(F.sum("n_seq")).collect()[0][0] == n_raw, t
+
+
+def test_randomized_equivalences(spark):
+    """Seeded random frames (beyond the fixed fixture): cascade==direct and
+    salted==plain must hold for arbitrary data shapes."""
+    import random
+
+    rng = random.Random(1234)
+    rows = []
+    for i in range(2000):
+        toks = [rng.randrange(50257) for _ in range(rng.randrange(1, 30))]
+        rows.append((
+            f"s{rng.randrange(5)}",
+            f"2023-0{rng.randrange(1, 8)}-{rng.randrange(1, 28):02d} "
+            f"{rng.randrange(24):02d}:{rng.randrange(60):02d}:00",
+            toks, len(toks), rng.randrange(4), i,
+        ))
+    df = spark.createDataFrame(
+        rows, "source string, ts_s string, tokens array<int>, n_tok int, qc int, id long"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    direct = rollup_from_raw(df, "1mo")
+    via = rollup_cascade(rollup_cascade(rollup_from_raw(df, "1h"), "1d"), "1mo")
+    assert _rows(direct) == _rows(via)
+    assert _rows(direct) == _rows(
+        __import__("ingestr_spark.operators.skew", fromlist=["x"]).salted_rollup_from_raw(df, "1mo", 7)
+    )
