@@ -432,6 +432,43 @@ def q_json_props_events(spark, sf_dir):
     )
 
 
+
+def q_sessions_events(spark, sf_dir):
+    """Gap-based sessionization (session-window analog): per-user session
+    count, event count, and largest session."""
+    from ingestr_spark.operators.tsutil import sessionize
+
+    apply_engine_conf(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    g = sessionize(ev, "user_id", "ts", gap_seconds=1800, tiebreak_col="event_id")
+    per_session = g.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("cnt").alias("n_events"),
+        F.max("cnt").alias("max_session_events"),
+    )
+
+
+def q_distinct_users_daily(spark, sf_dir):
+    """A14/distinct-agg: exact count(distinct) per day."""
+    apply_engine_conf(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_rollup_1d_hot(spark, sf_dir):
+    """Predicate pushdown path: filter one source BEFORE the rollup."""
+    t = _tok(spark, sf_dir).filter(F.col("source") == "hot")
+    return t.groupBy(F.date_trunc("day", "ts").cast("date").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_seq"), F.sum("n_tok").alias("sum_n_tok")
+    )
+
+
 # ---------------- driver contract -------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -474,6 +511,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "downscale_step": q_downscale_step,
         "gapfill_locf_1mo": q_gapfill_locf_1mo,
         "json_props_events": q_json_props_events,
+        "sessions_events": q_sessions_events,
+        "distinct_users_daily": q_distinct_users_daily,
+        "rollup_1d_hot": q_rollup_1d_hot,
     }
 
 
@@ -512,4 +552,7 @@ def oracle_sql() -> dict[str, str]:
         "downscale_step": oracles.DOWNSCALE_STEP,
         "gapfill_locf_1mo": oracles.GAPFILL_LOCF_1MO,
         "json_props_events": oracles.JSON_PROPS_EVENTS,
+        "sessions_events": oracles.SESSIONS_EVENTS,
+        "distinct_users_daily": oracles.DISTINCT_USERS_DAILY,
+        "rollup_1d_hot": oracles.ROLLUP_1D_HOT,
     }

@@ -121,3 +121,26 @@ def reconstruct_hourly_timestamps(
             + (F.col(idx_col) % per_day) * step
         ),
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization (session-window analog of §2.10): a new
+    session starts when the gap to the previous event exceeds
+    ``gap_seconds``. session_idx = running count of session starts per key —
+    two window passes, no UDF, deterministic."""
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    # cast via timestamp: NTZ columns don't cast to long directly
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    is_start = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn("_start", is_start).withColumn(
+        "session_idx", F.sum("_start").over(wrun)
+    ).drop("_start")

@@ -509,3 +509,43 @@ SELECT event_type,
   MAX(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT)) AS max_k
 FROM events GROUP BY 1
 """
+
+# ---- sessionization / distinct / pushdown extras -----------------------------
+
+SESSIONS_EVENTS = """
+WITH s AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(lag(ts) OVER w) AS BIGINT) > 1800
+         THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (
+  SELECT user_id, ts,
+    SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM s
+),
+per_session AS (
+  SELECT user_id, session_idx, COUNT(*) AS cnt FROM g GROUP BY 1, 2
+)
+SELECT user_id,
+  COUNT(*) AS n_sessions,
+  CAST(SUM(cnt) AS BIGINT) AS n_events,
+  CAST(MAX(cnt) AS BIGINT) AS max_session_events
+FROM per_session GROUP BY 1
+"""
+
+DISTINCT_USERS_DAILY = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS date,
+  COUNT(DISTINCT user_id) AS n_users,
+  COUNT(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+ROLLUP_1D_HOT = f"""WITH {TOKENS_CTE}
+SELECT CAST(date_trunc('day', ts) AS DATE) AS bucket,
+  COUNT(*) AS n_seq, CAST(SUM(n_tok) AS BIGINT) AS sum_n_tok
+FROM tok WHERE source = 'hot' GROUP BY 1
+"""
