@@ -32,6 +32,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="yyyy-MM: drop 1h partitions before this month once 1d verifies")
     p.add_argument("--compress", action="store_true",
                    help="write Gorilla/delta-of-delta packed copies of each tier")
+    p.add_argument("--verify-codec", action="store_true",
+                   help="decode the packed copies and assert bit-exact match")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -43,10 +45,28 @@ def main(argv: list[str] | None = None) -> int:
     raw = spark.read.parquet(args.input)
     built = store.build_all(raw, tiers)
 
+    codec_ok: dict[str, bool] = {}
     if args.compress:
+        from pyspark.sql import functions as F
+
+        from ingestr_spark.compression.gorilla import decompress_tier
+
         for t in tiers:
             packed = compress_tier(store.read_tier(t), value_col="avg_n_tok")
             packed.write.mode("overwrite").parquet(f"{store.root}/compressed/{t}")
+            if args.verify_codec:
+                # decode the persisted blobs; anti-join both ways must be empty
+                back = decompress_tier(
+                    spark.read.parquet(f"{store.root}/compressed/{t}"),
+                    value_col="avg_n_tok",
+                )
+                orig = store.read_tier(t).select(
+                    "source", F.col("bucket").cast("timestamp").alias("bucket"),
+                    "avg_n_tok",
+                )
+                missing = orig.join(back, ["source", "bucket", "avg_n_tok"], "left_anti")
+                extra = back.join(orig, ["source", "bucket", "avg_n_tok"], "left_anti")
+                codec_ok[t] = missing.count() == 0 and extra.count() == 0
 
     dropped = []
     if args.retain_before and len(tiers) >= 2:
@@ -57,6 +77,8 @@ def main(argv: list[str] | None = None) -> int:
         "dropped_partitions": {tiers[0]: dropped} if dropped else {},
         "wall_sec": round(time.time() - t0, 2),
     }
+    if codec_ok:
+        report["codec_roundtrip_ok"] = codec_ok
     print(json.dumps(report))
     spark.stop()
     return 0

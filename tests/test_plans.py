@@ -89,3 +89,32 @@ def test_tier_scan_prunes_partitions(spark, tok, tmp_path):
     plan = _plan(one)
     scan = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
     assert "p_month" in scan.split("PartitionFilters")[1][:120]
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Co-located join: two tables bucketed by the join key join WITHOUT a
+    shuffle exchange on either side (the 100 TB strategy for repeated joins
+    on (source) — bucket once, join many times)."""
+    from ingestr_spark.datagen import synth_tokens
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        tok = synth_tokens(spark, 5000, max_ntok=16).select("id", "source", "n_tok")
+        dim = tok.groupBy("source").count()
+        (tok.write.mode("overwrite").bucketBy(8, "source").sortBy("source")
+            .option("path", str(tmp_path / "fact")).saveAsTable("fact_bucketed"))
+        (dim.write.mode("overwrite").bucketBy(8, "source").sortBy("source")
+            .option("path", str(tmp_path / "dim")).saveAsTable("dim_bucketed"))
+        f = spark.table("fact_bucketed")
+        d = spark.table("dim_bucketed")
+        joined = f.join(d, "source")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        # no hash-partition exchange: bucketing pre-co-located both sides
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == 5000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS fact_bucketed")
+        spark.sql("DROP TABLE IF EXISTS dim_bucketed")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
