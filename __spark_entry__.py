@@ -469,6 +469,23 @@ def q_rollup_1d_hot(spark, sf_dir):
     )
 
 
+
+def q_asof_daily_state(spark, sf_dir):
+    """As-of join: attach the most recent qc-good daily sum to every raw
+    sequence row (union-window implementation; DuckDB checks with its native
+    ASOF LEFT JOIN)."""
+    from ingestr_spark.operators.asof import asof_join
+
+    t = _tok(spark, sf_dir)
+    tier = (
+        t.filter("qc = 0")
+        .groupBy("source", F.date_trunc("day", "ts").alias("bucket"))
+        .agg(F.sum("n_tok").alias("day_sum"))
+    )
+    left = t.select("doc_id", "source", "ts")
+    return asof_join(left, tier, ["source"], "ts", "bucket", ["day_sum"])
+
+
 # ---------------- driver contract -------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -514,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions_events": q_sessions_events,
         "distinct_users_daily": q_distinct_users_daily,
         "rollup_1d_hot": q_rollup_1d_hot,
+        "asof_daily_state": q_asof_daily_state,
     }
 
 
@@ -555,4 +573,5 @@ def oracle_sql() -> dict[str, str]:
         "sessions_events": oracles.SESSIONS_EVENTS,
         "distinct_users_daily": oracles.DISTINCT_USERS_DAILY,
         "rollup_1d_hot": oracles.ROLLUP_1D_HOT,
+        "asof_daily_state": oracles.ASOF_DAILY_STATE,
     }

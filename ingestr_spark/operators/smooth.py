@@ -152,9 +152,6 @@ def smooth_fill(
     key_cols = key_cols or ["source"]
     methods = sorted(KERNELS) if keep_all else [method]
     base = df.withColumn(value_col, F.col(value_col).cast("double"))
-    schema_cols = base.schema.fields + [
-        # spark StructField import avoided: build via DDL below
-    ]
     ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in base.schema.fields)
     ddl += ", " + ", ".join(f"`{value_col}_{m}` double" for m in methods)
 

@@ -549,3 +549,17 @@ SELECT CAST(date_trunc('day', ts) AS DATE) AS bucket,
   COUNT(*) AS n_seq, CAST(SUM(n_tok) AS BIGINT) AS sum_n_tok
 FROM tok WHERE source = 'hot' GROUP BY 1
 """
+
+# ---- as-of join oracle (DuckDB native ASOF LEFT JOIN) ------------------------
+# left = every sequence row; right = daily sums of qc==0 rows only (sparse),
+# so non-covered days genuinely carry forward from the previous observed day.
+ASOF_DAILY_STATE = f"""WITH {TOKENS_CTE},
+tier AS (
+  SELECT source, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         CAST(SUM(n_tok) AS BIGINT) AS day_sum
+  FROM tok WHERE qc = 0 GROUP BY 1, 2
+)
+SELECT l.doc_id_str AS doc_id, l.source, l.ts, r.day_sum
+FROM tok l ASOF LEFT JOIN tier r
+  ON l.source = r.source AND l.ts >= r.bucket
+"""
