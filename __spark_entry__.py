@@ -486,6 +486,45 @@ def q_asof_daily_state(spark, sf_dir):
     return asof_join(left, tier, ["source"], "ts", "bucket", ["day_sum"])
 
 
+
+def q_busy_days_semijoin(spark, sf_dir):
+    """P11 semi-join: restrict events to busy days then aggregate."""
+    from ingestr_spark.operators.tsutil import keep_requested_dates
+
+    apply_engine_conf(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "d", F.to_date("ts")
+    )
+    busy = ev.groupBy("d").count().filter("count >= 350").select("d")
+    kept = keep_requested_dates(ev, busy, ["d"])
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value")
+    )
+
+
+def q_gapfill_lag2_1d(spark, sf_dir):
+    """W1 lag-cascade fill (reach 2 back) over the daily spine."""
+    from ingestr_spark.operators.tsutil import lag_fill_cascade
+
+    j = spine_join(_daily_tier_for_gapfill(spark, sf_dir)).drop("n_seq")
+    out = lag_fill_cascade(j, "sum_n_tok", n_lags=2, key_cols=["source"],
+                           order_col="bucket")
+    return out.select("source", "bucket", "gap", "sum_n_tok")
+
+
+def q_top3_docs_per_source(spark, sf_dir):
+    """R6 dedup-by-priority generalized: windowed top-3 per key."""
+    from pyspark.sql import Window
+
+    t = _tok(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(F.col("n_tok").desc(), F.col("id").asc())
+    return (
+        t.withColumn("rank", F.row_number().over(w))
+        .filter("rank <= 3")
+        .select("source", "doc_id", "n_tok", "rank")
+    )
+
+
 # ---------------- driver contract -------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -532,6 +571,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users_daily": q_distinct_users_daily,
         "rollup_1d_hot": q_rollup_1d_hot,
         "asof_daily_state": q_asof_daily_state,
+        "busy_days_semijoin": q_busy_days_semijoin,
+        "gapfill_lag2_1d": q_gapfill_lag2_1d,
+        "top3_docs_per_source": q_top3_docs_per_source,
     }
 
 
@@ -574,4 +616,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_daily": oracles.DISTINCT_USERS_DAILY,
         "rollup_1d_hot": oracles.ROLLUP_1D_HOT,
         "asof_daily_state": oracles.ASOF_DAILY_STATE,
+        "busy_days_semijoin": oracles.BUSY_DAYS_SEMIJOIN,
+        "gapfill_lag2_1d": oracles.GAPFILL_LAG2_1D,
+        "top3_docs_per_source": oracles.TOP3_DOCS_PER_SOURCE,
     }

@@ -563,3 +563,39 @@ SELECT l.doc_id_str AS doc_id, l.source, l.ts, r.day_sum
 FROM tok l ASOF LEFT JOIN tier r
   ON l.source = r.source AND l.ts >= r.bucket
 """
+
+# ---- semi-join restriction / lag-fill / top-k ranks ---------------------------
+
+# P11 semi-join through the oracle: keep only events on busy days (>=350
+# events), then aggregate the kept rows per type.
+BUSY_DAYS_SEMIJOIN = """
+WITH busy AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events GROUP BY 1 HAVING COUNT(*) >= 350
+)
+SELECT e.event_type, COUNT(*) AS n, ROUND(SUM(e.value), 6) AS sum_value
+FROM events e
+WHERE CAST(date_trunc('day', e.ts) AS DATE) IN (SELECT d FROM busy)
+GROUP BY 1
+"""
+
+# W1 lag-cascade over spine gaps: nulls take the nearest of the previous 2
+# values (not full LOCF - beyond 2 buckets stays null)
+GAPFILL_LAG2_1D = f"""{_DAILY_TIER_CTE}
+SELECT source, bucket, gap,
+  COALESCE(sum_n_tok,
+           lag(sum_n_tok, 1) OVER w,
+           lag(sum_n_tok, 2) OVER w) AS sum_n_tok
+FROM joined
+WINDOW w AS (PARTITION BY source ORDER BY bucket)
+"""
+
+# R6/top-k: 3 longest sequences per source, deterministic tiebreak on id
+TOP3_DOCS_PER_SOURCE = f"""WITH {TOKENS_CTE},
+r AS (
+  SELECT source, doc_id_str AS doc_id, n_tok,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tok DESC, id ASC) AS rank
+  FROM tok
+)
+SELECT source, doc_id, n_tok, CAST(rank AS INT) AS rank FROM r WHERE rank <= 3
+"""
