@@ -525,6 +525,27 @@ def q_top3_docs_per_source(spark, sf_dir):
     )
 
 
+
+def q_rollup_1w_cascade(spark, sf_dir):
+    """Weekly tier cascaded FROM the daily tier; oracle computes weekly
+    directly from raw (cascade equivalence for the 1w grain)."""
+    daily = rollup_from_raw(_tok(spark, sf_dir), "1d")
+    return _as_date_bucket(rollup_cascade(daily, "1w")).select(
+        "source", "bucket", *TIER_OUT_COLS
+    )
+
+
+def q_noleap_spine_days(spark, sf_dir):
+    """D1 noleap: per-source dense spine length with Feb-29 dropped."""
+    from ingestr_spark.spine import key_spine
+
+    tier = _tok(spark, sf_dir).select(
+        "source", F.date_trunc("day", "ts").cast("date").alias("bucket")
+    )
+    sp = key_spine(tier, ["source"], noleap=True)
+    return sp.groupBy("source").agg(F.count(F.lit(1)).alias("n_days"))
+
+
 # ---------------- driver contract -------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -574,6 +595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "busy_days_semijoin": q_busy_days_semijoin,
         "gapfill_lag2_1d": q_gapfill_lag2_1d,
         "top3_docs_per_source": q_top3_docs_per_source,
+        "rollup_1w_cascade": q_rollup_1w_cascade,
+        "noleap_spine_days": q_noleap_spine_days,
     }
 
 
@@ -619,4 +642,6 @@ def oracle_sql() -> dict[str, str]:
         "busy_days_semijoin": oracles.BUSY_DAYS_SEMIJOIN,
         "gapfill_lag2_1d": oracles.GAPFILL_LAG2_1D,
         "top3_docs_per_source": oracles.TOP3_DOCS_PER_SOURCE,
+        "rollup_1w_cascade": oracles.ROLLUP_1W,
+        "noleap_spine_days": oracles.NOLEAP_SPINE_DAYS,
     }

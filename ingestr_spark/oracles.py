@@ -599,3 +599,19 @@ r AS (
 )
 SELECT source, doc_id, n_tok, CAST(rank AS INT) AS rank FROM r WHERE rank <= 3
 """
+
+# noleap spine day counts per source (D1 noleap semantics through the oracle)
+NOLEAP_SPINE_DAYS = f"""WITH {TOKENS_CTE},
+b AS (
+  SELECT source, MIN(CAST(date_trunc('day', ts) AS DATE)) AS lo,
+                 MAX(CAST(date_trunc('day', ts) AS DATE)) AS hi
+  FROM tok GROUP BY 1
+),
+s AS (
+  SELECT source, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM b
+)
+SELECT source, COUNT(*) AS n_days
+FROM s WHERE NOT (month(d) = 2 AND day(d) = 29)
+GROUP BY 1
+"""
