@@ -97,15 +97,18 @@ def encode_timestamps(ts: np.ndarray) -> bytes:
     w.write(int(deltas[0]) & ((1 << 64) - 1), 64)
     dods = np.diff(deltas)
     for dod in dods.tolist():
+        # zigzag-symmetric ranges: zigzag(dod) must fit the field width
+        # (zigzag(63)=126, zigzag(-64)=127 fit 7 bits; zigzag(64)=128 does
+        # not — the paper's asymmetric ranges assume offset, not zigzag)
         if dod == 0:
             w.write(0, 1)
-        elif -63 <= dod <= 64:
+        elif -64 <= dod <= 63:
             w.write(0b10, 2)
             w.write(_zigzag(dod), 7)
-        elif -255 <= dod <= 256:
+        elif -256 <= dod <= 255:
             w.write(0b110, 3)
             w.write(_zigzag(dod), 9)
-        elif -2047 <= dod <= 2048:
+        elif -2048 <= dod <= 2047:
             w.write(0b1110, 4)
             w.write(_zigzag(dod), 12)
         else:

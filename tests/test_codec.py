@@ -59,6 +59,19 @@ def test_vals_constant_series_compresses():
     assert len(blob) < 1500  # 1 bit per repeated point + header
 
 
+@pytest.mark.parametrize(
+    "dod",
+    [63, 64, 65, 127, 128, 255, 256, 257, 2047, 2048, 2049,
+     -63, -64, -65, -255, -256, -257, -2047, -2048, -2049],
+)
+def test_ts_roundtrip_dod_bucket_boundaries(dod):
+    """Zigzag bucket edges: dod=64/256/2048 zigzag to 128/512/4096 and must
+    escalate to the next bucket, not be masked to 0 (silent corruption bug
+    fixed in round 2)."""
+    ts = np.array([0, 100, 200 + dod], dtype=np.int64)
+    assert np.array_equal(decode_timestamps(encode_timestamps(ts)), ts)
+
+
 @settings(max_examples=200, deadline=None)
 @given(st.lists(st.integers(min_value=-2**40, max_value=2**40), min_size=0, max_size=120))
 def test_ts_roundtrip_property(xs):
