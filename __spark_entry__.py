@@ -308,6 +308,19 @@ def q_embedding_neardup(spark, sf_dir):
     return embedding_near_dup(emb, threshold=0.4)
 
 
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """Sub-quadratic near-dup: sign-sketch LSH banding + exact rescore over
+    the derived planted-near-dup embedding table. The oracle is the exact
+    all-pairs SQL; the plan has no CartesianProduct (asserted in
+    tests/test_plans.py) and recall vs brute force is 1.0 on this fixture."""
+    from ingestr_spark.datagen import neardup_embeddings
+    from ingestr_spark.operators.dedup import embedding_near_dup_lsh
+
+    apply_engine_conf(spark)
+    nde = neardup_embeddings(spark, sf_dir)
+    return embedding_near_dup_lsh(nde, threshold=0.95, bits=32, bands=8)
+
+
 def q_ann_topk(spark, sf_dir):
     from ingestr_spark.operators.similarity import brute_force_topk
 
@@ -579,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_fp": q_simhash_fp,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "ann_topk": q_ann_topk,
         "text_stats": q_text_stats,
         "bitqc_filter": q_bitqc_filter,
@@ -626,6 +640,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": oracles.NGRAM_JACCARD_PAIRS,
         "simhash_fp": oracles.SIMHASH_FP,
         "embedding_neardup": oracles.EMBEDDING_NEARDUP,
+        "embedding_neardup_lsh": oracles.EMBEDDING_NEARDUP_LSH,
         "ann_topk": oracles.ANN_TOPK,
         "text_stats": oracles.TEXT_STATS,
         "bitqc_filter": oracles.BITQC_FILTER,

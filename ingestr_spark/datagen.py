@@ -206,6 +206,54 @@ def exactdup_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# near-dup EMBEDDING fixture: the raw embeddings table has no high-cosine
+# pairs (max background cosine ≈ 0.6 at every SF — random 64-dim vectors),
+# so the near-dup regime LSH is built for is planted deterministically:
+# each base vector appears as q*100 (id = 2*vec_id); every 5th vector also
+# appears as a perturbed copy q[d]*(100 + eps_d) (id = 2*vec_id + 1) with
+# eps_d = ((vec_id*31 + d*17) % 31) - 15, i.e. a ±15% per-component tweak.
+# Scaling by 100 keeps every cosine identical to the unscaled vector's, and
+# the whole derivation is integer multiply-add — byte-identical in DuckDB
+# (NEARDUP_EMB_CTE). Planted pairs land at cosine ≥ 0.993; background stays
+# ≤ 0.61 — clean separation for a 0.95 near-dup threshold.
+
+def neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+        ).alias("q0"),
+    )
+    base = emb.select(
+        (F.col("vec_id") * 2).alias("id"),
+        F.expr("transform(q0, y -> y * 100)").alias("q"),
+    )
+    dup = emb.filter("vec_id % 5 = 0").select(
+        (F.col("vec_id") * 2 + 1).alias("id"),
+        F.expr(
+            "transform(q0, (y, d) -> y * (100 + (vec_id*31 + d*17) % 31 - 15))"
+        ).alias("q"),
+    )
+    return base.unionByName(dup)
+
+
+NEARDUP_EMB_CTE = """
+qe AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q0
+    FROM embeddings
+),
+nde AS (
+    SELECT vec_id * 2 AS id, list_transform(q0, y -> y * 100) AS q FROM qe
+    UNION ALL
+    SELECT vec_id * 2 + 1 AS id,
+           list_transform(range(1, len(q0) + 1),
+                          d -> q0[d] * (100 + (vec_id*31 + (d-1)*17) % 31 - 15)) AS q
+    FROM qe WHERE vec_id % 5 = 0
+)
+"""
+
+
 NEARDUP_CTE = f"""
 tokd AS (
     SELECT doc_id AS id,

@@ -74,17 +74,33 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, id_col: str, k: int = 8, bands: int = 4
+    sig: DataFrame,
+    id_col: str,
+    k: int = 8,
+    bands: int = 4,
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """Band the signature (k/bands rows per band); pairs sharing any band
     bucket are candidates. Join is per-band on the bucket key — never an
-    all-pairs cross join. Returns distinct (id_a < id_b) pairs."""
+    all-pairs cross join. Returns distinct (id_a < id_b) pairs.
+
+    ``max_bucket_rows`` caps hot band-buckets: a bucket of B near-identical
+    docs is B² pairs within one task, so at corpus scale degenerate clusters
+    (boilerplate, empty docs) are dropped from candidate generation beyond
+    the cap — a recall trade standard in production dedup, disclosed here.
+    A capped mega-cluster is better handled by exact_dedup on its
+    fingerprint first."""
     rows = k // bands
     pair_frames = []
     for b in range(bands):
         cols = [f"mh{b * rows + r}" for r in range(rows)]
         bucket = F.concat_ws("_", *[F.col(c).cast("string") for c in cols])
         banded = sig.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+        if max_bucket_rows is not None:
+            sizes = banded.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
+            banded = banded.join(
+                F.broadcast(sizes.filter(F.col("_bn") <= max_bucket_rows)), "bucket"
+            ).drop("_bn")
         left = banded.alias("l")
         right = banded.alias("r")
         pairs = (
@@ -102,11 +118,12 @@ def lsh_candidate_pairs(
 def minhash_similarity(
     df: DataFrame, id_col: str, tokens_col: str = "tokens",
     k: int = 8, bands: int = 4, n: int = 3, threshold: float = 0.5,
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with estimated Jaccard = fraction of
     matching signature components, filtered at ``threshold``."""
     sig = minhash_signatures(df, id_col, tokens_col, k, n)
-    cand = lsh_candidate_pairs(sig, id_col, k, bands)
+    cand = lsh_candidate_pairs(sig, id_col, k, bands, max_bucket_rows)
     a = sig.select(F.col(id_col).alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)])
     b = sig.select(F.col(id_col).alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)])
     j = cand.join(a, "id_a").join(b, "id_b")
@@ -123,17 +140,32 @@ def minhash_similarity(
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, tokens_col: str = "tokens",
     n: int = 3, threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard for pairs sharing at least one shingle: the
     shingle self-join yields intersection counts; set sizes come from a
-    per-id distinct-shingle count. |A∩B| / (|A|+|B|-|A∩B|)."""
+    per-id distinct-shingle count. |A∩B| / (|A|+|B|-|A∩B|).
+
+    ``max_shingle_freq`` drops "stop shingles" appearing in more than F docs
+    from the JOIN side only (set sizes stay exact): a shingle shared by
+    millions of docs contributes F² join rows, so the cutoff bounds the
+    self-join at corpus scale. Dropping join rows can only LOWER computed
+    intersections, so for pairs whose overlap includes rarer shingles the
+    estimate stays exact; pairs connected ONLY via stop shingles are missed
+    (Jaccard necessarily tiny — they share only boilerplate)."""
     sh = token_shingles(df, tokens_col, n).select(
         F.col(id_col).alias("id"), "shingle"
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    sh_join = sh
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        sh_join = sh.join(
+            F.broadcast(freq.filter(F.col("_df") <= max_shingle_freq)), "shingle"
+        ).drop("_df")
     inter = (
-        sh.alias("l")
-        .join(sh.alias("r"), "shingle")
+        sh_join.alias("l")
+        .join(sh_join.alias("r"), "shingle")
         .filter(F.col("l.id") < F.col("r.id"))
         .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
@@ -183,13 +215,28 @@ def simhash_near_pairs(
     df: DataFrame, id_col: str, tokens_col: str = "tokens", max_hamming: int = 2
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance. Candidate generation via
-    half-fingerprint buckets (any pair within hamming<=2 of a 16-bit print
-    shares at least one 8-bit half) — avoids all-pairs."""
+    fingerprint-slice buckets: the 16-bit print is split into
+    ``max_hamming + 1`` contiguous slices, and by pigeonhole any pair within
+    Hamming ≤ max_hamming agrees exactly on at least one slice — candidate
+    generation is COMPLETE for the requested radius (the round-1 two-half
+    scheme silently missed pairs with one differing bit in each half at
+    max_hamming=2). Per-slice equi-joins on the bucket key — never
+    all-pairs; exact Hamming filter after."""
+    if not 0 <= max_hamming < SIMHASH_BITS:
+        raise ValueError(f"max_hamming must be in [0, {SIMHASH_BITS})")
     s = simhash(df, id_col, tokens_col)
-    lo = (F.col("simhash") % 256).alias("b")
-    hi = (F.col("simhash") / 256).cast("int").alias("b")
+    n_bands = max_hamming + 1
+    # contiguous bit slices covering all SIMHASH_BITS bits (first slices get
+    # the extra bits when it doesn't divide evenly)
+    base, extra = divmod(SIMHASH_BITS, n_bands)
     cands = None
-    for half, bucket in enumerate([lo, hi]):
+    lo_bit = 0
+    for band in range(n_bands):
+        width = base + (1 if band < extra else 0)
+        bucket = (
+            F.shiftright(F.col("simhash"), lo_bit).bitwiseAND((1 << width) - 1)
+        ).alias("b")
+        lo_bit += width
         banded = s.select("id", "simhash", bucket)
         p = (
             banded.alias("l").join(banded.alias("r"), "b")
@@ -205,19 +252,8 @@ def simhash_near_pairs(
     return cands.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming)
 
 
-def embedding_near_dup(
-    df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    scale: int = 10000,
-    threshold: float = 0.99,
-) -> DataFrame:
-    """Quantized-cosine near-duplicates: embeddings scaled to int64
-    (round(x*scale)), dot products and norms as exact integer sums (order-
-    independent — reproducible on any cluster), final cosine in float.
-    Brute-force all-pairs — correct baseline; the bucketed scale path is
-    operators/similarity.py."""
-    q = df.select(
+def _quantized(df: DataFrame, id_col: str, vec_col: str, scale: int) -> DataFrame:
+    return df.select(
         F.col(id_col).alias("id"),
         # float32 -> double BEFORE scaling: float arithmetic differs between
         # engines, double is exact here (round-half-away matches DuckDB)
@@ -228,16 +264,126 @@ def embedding_near_dup(
         "nrm",
         F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x * x),
     )
-    l, r = q.alias("l"), q.alias("r")
-    pairs = l.crossJoin(r).filter(F.col("l.id") < F.col("r.id"))
+
+
+def _pair_cosine():
     dot = F.aggregate(
         F.zip_with(F.col("l.q"), F.col("r.q"), lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
-    out = pairs.select(
-        F.col("l.id").alias("id_a"),
-        F.col("r.id").alias("id_b"),
-        (dot.cast("double") / F.sqrt(F.col("l.nrm").cast("double") * F.col("r.nrm").cast("double"))).alias("cosine"),
+    return dot.cast("double") / F.sqrt(
+        F.col("l.nrm").cast("double") * F.col("r.nrm").cast("double")
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10000,
+    threshold: float = 0.99,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """EXACT quantized-cosine similarity join, organized as a BLOCKED pair
+    join (the distributed block-GEMM shape), not a cross join.
+
+    Rows are assigned a block by ``id % n_blocks``; a tiny broadcast table of
+    the (n_blocks choose 2)+n_blocks ordered block pairs fans each row out to
+    the block-pairs it participates in, and both joins are equi-joins on the
+    block id — the plan contains no CartesianProduct/BroadcastNestedLoopJoin
+    and per-task memory is bounded by 2·(n/n_blocks) rows. Total compute is
+    still O(n²) comparisons — unavoidable for an EXACT low-threshold cosine
+    join over dense random vectors (no exact sub-quadratic blocking exists in
+    that regime; cf. Bayardo et al., WWW 2007, whose prefix filter only prunes
+    sparse data). For the near-duplicate regime (high threshold) use
+    :func:`embedding_near_dup_lsh`, which is sub-quadratic. At scale,
+    ``n_blocks`` grows ~sqrt(n) to keep block pairs per task flat.
+
+    Dot products and norms are exact integer sums (order-independent →
+    reproducible on any cluster); the final cosine is one float division.
+    """
+    q = _quantized(df, id_col, vec_col, scale)
+    spark = df.sparkSession
+    pairs_bl = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi int, bj int",
+    )
+    l = q.withColumn("bi", (F.col("id") % n_blocks).cast("int")).alias("l")
+    r = q.withColumn("bj", (F.col("id") % n_blocks).cast("int")).alias("r")
+    fan = l.join(F.broadcast(pairs_bl), "bi")
+    joined = fan.join(r, "bj").where(
+        (F.col("bi") < F.col("bj")) | (F.col("l.id") < F.col("r.id"))
+    )
+    out = joined.select(
+        F.least("l.id", "r.id").alias("id_a"),
+        F.greatest("l.id", "r.id").alias("id_b"),
+        _pair_cosine().alias("cosine"),
     )
     return out.filter(F.col("cosine") >= threshold)
+
+
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    id_col: str = "id",
+    qvec_col: str = "q",
+    threshold: float = 0.95,
+    bits: int = 32,
+    bands: int = 8,
+    max_bucket_rows: int | None = None,
+) -> DataFrame:
+    """Sub-quadratic near-duplicate pairs over PRE-QUANTIZED bigint vectors:
+    sign-sketch LSH banding + exact integer rescoring.
+
+    Candidates = pairs agreeing on at least one of ``bands`` bands of a
+    ``bits``-bit hyperplane sign sketch (one equi-join on (band, value) —
+    never all-pairs). By pigeonhole this covers every pair with sketch
+    Hamming distance ≤ bands-1; pairs at cosine ≥ 0.95 land at Hamming
+    ≈ 0.02·bits, far inside the ≤7 guarantee at 32/8. Candidates are then
+    rescored with the exact integer cosine, so false candidates never leak —
+    recall (not precision) is the only approximation, and it is measured
+    against :func:`embedding_near_dup` in tests.
+
+    ``max_bucket_rows`` guards hot buckets at corpus scale: buckets holding
+    more rows are dropped from candidate generation (standard practice for
+    degenerate near-identical clusters; trades recall, disclosed here). At
+    10^9+ rows raise ``bits`` so band values stay selective (band width
+    bits/bands sets bucket cardinality 2^(bits/bands)).
+    """
+    from ingestr_spark.operators.similarity import sign_sketch_expr
+
+    width = bits // bands
+    s = df.select(
+        F.col(id_col).alias("id"),
+        F.col(qvec_col).alias("q"),
+        F.aggregate(qvec_col, F.lit(0).cast("long"), lambda a, x: a + x * x).alias("nrm"),
+        F.expr(sign_sketch_expr(qvec_col, bits)).alias("sk"),
+    )
+    # band value = the width-bit slice packed into an int
+    band_val = "aggregate(zip_with(slice(sk, band*{w}+1, {w}), sequence(0, {w1}), (b, j) -> shiftleft(b, j)), 0, (a, x) -> a + x)".format(
+        w=width, w1=width - 1
+    )
+    banded = s.select(
+        "id",
+        F.explode(F.expr(
+            f"transform(sequence(0, {bands - 1}), band -> struct(band, {band_val} AS val))"
+        )).alias("bv"),
+    ).select("id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    if max_bucket_rows is not None:
+        sizes = banded.groupBy("band", "val").agg(F.count(F.lit(1)).alias("_bn"))
+        banded = banded.join(
+            F.broadcast(sizes.filter(F.col("_bn") <= max_bucket_rows)),
+            ["band", "val"],
+        ).drop("_bn")
+    cand = (
+        banded.alias("a").join(banded.alias("b"), ["band", "val"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    l = s.select(F.col("id").alias("id_a"), "q", "nrm").alias("l")
+    r = s.select(F.col("id").alias("id_b"), "q", "nrm").alias("r")
+    scored = cand.join(l, "id_a").join(r, "id_b").select(
+        "id_a", "id_b", _pair_cosine().alias("cosine")
+    )
+    return scored.filter(F.col("cosine") >= threshold)

@@ -23,8 +23,16 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SCALE = 10000
-# deterministic hyperplane components: h[p][d] = ((p*131071 + d*524287) % 2001) - 1000
-HP_A, HP_B, HP_MOD = 131071, 524287, 2001
+# Deterministic hyperplane components via a QUADRATIC index mix:
+#   k = p*dim + d + 1;  w[p][d] = (k*k*HP_A + k*HP_B) % HP_MOD - HP_HALF
+# The round-1 affine scheme ((p*A + d*B) % M) made every hyperplane a cyclic
+# shift of one sawtooth ramp (B % M was a constant step), so all projections
+# were near-collinear and sketch bits carried almost no independent
+# information. The quadratic term breaks the shift structure; empirically
+# unrelated fixture pairs land at Hamming ≈ bits/2 (ideal) vs the old ~rank-1
+# sketches. Intermediates: k ≤ bits*dim+dim ≤ ~4e3, k² ≤ 1.7e7, ×HP_A ≈ 6e10
+# — int64-safe; weights ∈ [-2000, 2000].
+HP_A, HP_B, HP_MOD, HP_HALF = 3571, 8191, 4001, 2000
 
 
 def _quantize(df: DataFrame, vec_col: str, out: str = "q") -> DataFrame:
@@ -77,23 +85,36 @@ def brute_force_topk(
     )
 
 
+def _weight_expr(p_expr: str, d_expr: str, dim_expr: str) -> str:
+    """SQL for w[p][d] with the quadratic index mix (int64-safe)."""
+    k = f"CAST({p_expr} * {dim_expr} + {d_expr} + 1 AS BIGINT)"
+    return f"(({k} * {k} * {HP_A} + {k} * {HP_B}) % {HP_MOD} - {HP_HALF})"
+
+
+def sign_sketch_expr(qvec_col: str, bits: int) -> str:
+    """SQL expression: array<int> of ``bits`` sign bits (1 if the projection
+    of the pre-quantized bigint vector onto hyperplane p is > 0). One
+    codegen'd higher-order expression — no Python, no shuffle."""
+    dim = f"size({qvec_col})"
+    w = _weight_expr("p", "d", dim)
+    return (
+        f"transform(sequence(0, {bits - 1}), p -> CASE WHEN aggregate("
+        f"zip_with({qvec_col}, sequence(0, {dim} - 1), (x, d) -> x * {w}), "
+        f"CAST(0 AS BIGINT), (a, x) -> a + x) > 0 THEN 1 ELSE 0 END)"
+    )
+
+
 def hyperplane_bucket(df: DataFrame, vec_col: str, bits: int = 8, out: str = "bucket") -> DataFrame:
     """Sign-bit bucket from ``bits`` deterministic hyperplanes. The
     projection is an integer dot product with pseudo-random int weights in
-    [-1000, 1000] — exact, engine-independent."""
-    bit_exprs = []
-    for p in range(bits):
-        proj = F.aggregate(
-            F.expr(
-                f"zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
-                f"(x, d) -> CAST(round(CAST(x AS DOUBLE) * {SCALE}) AS BIGINT) * "
-                f"((({p} * {HP_A} + d * {HP_B}) % {HP_MOD}) - 1000))"
-            ),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
-        )
-        bit_exprs.append(F.when(proj > 0, 2**p).otherwise(0))
-    return df.withColumn(out, sum(bit_exprs).cast("int"))
+    [-HP_HALF, HP_HALF] — exact, engine-independent."""
+    q = f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * {SCALE}) AS BIGINT))"
+    packed = F.expr(
+        f"CAST(aggregate(zip_with({sign_sketch_expr(q, bits)}, "
+        f"sequence(0, {bits - 1}), (b, p) -> shiftleft(CAST(b AS INT), p)), "
+        f"0, (a, x) -> a + x) AS INT)"
+    )
+    return df.withColumn(out, packed)
 
 
 def lsh_topk(

@@ -351,6 +351,26 @@ p AS (
 SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4
 """
 
+# Oracle for the LSH near-dup path is the EXACT all-pairs join over the
+# derived planted-near-dup table (NEARDUP_EMB_CTE): the oracle may be O(n²)
+# at sf0.01 — the engine must not be. A pytest separately asserts the Spark
+# plan has no CartesianProduct and that LSH recall vs brute force is 1.0.
+from ingestr_spark.datagen import NEARDUP_EMB_CTE  # noqa: E402
+
+EMBEDDING_NEARDUP_LSH = f"""WITH {NEARDUP_EMB_CTE.strip().rstrip()},
+n2 AS (
+  SELECT id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nrm
+  FROM nde
+),
+p2 AS (
+  SELECT l.id AS id_a, r.id AS id_b,
+    CAST(list_sum(list_transform(range(1, len(l.q) + 1), i -> l.q[i] * r.q[i])) AS DOUBLE)
+      / sqrt(CAST(l.nrm AS DOUBLE) * CAST(r.nrm AS DOUBLE)) AS cosine
+  FROM n2 l JOIN n2 r ON l.id < r.id
+)
+SELECT id_a, id_b, cosine FROM p2 WHERE cosine >= 0.95
+"""
+
 ANN_TOPK = f"""WITH {_QEMB},
 scored AS (
   SELECT qr.id AS query_id, c.id AS vec_id,

@@ -47,6 +47,25 @@ def test_ngram_jaccard_finds_groups(nd):
     assert pairs.filter("jaccard <= 0 OR jaccard > 1").count() == 0
 
 
+def test_ngram_jaccard_stop_shingle_cutoff_equivalence(nd):
+    """A cutoff far above any fixture shingle's doc-frequency must leave the
+    result unchanged (the guard only bites on corpus-scale stop shingles)."""
+    plain = ngram_jaccard_pairs(nd, "id", threshold=0.5)
+    capped = ngram_jaccard_pairs(nd, "id", threshold=0.5, max_shingle_freq=50)
+    a = {(r["id_a"], r["id_b"], r["n_inter"]) for r in plain.collect()}
+    b = {(r["id_a"], r["id_b"], r["n_inter"]) for r in capped.collect()}
+    assert a == b and len(a) == 1000
+
+
+def test_minhash_bucket_cap_equivalence(nd):
+    mh = minhash_similarity(nd, "id", k=8, bands=4, threshold=0.5)
+    capped = minhash_similarity(nd, "id", k=8, bands=4, threshold=0.5,
+                                max_bucket_rows=100)
+    a = {(r["id_a"], r["id_b"]) for r in mh.collect()}
+    b = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert a == b and len(a) > 0
+
+
 def test_minhash_approximates_jaccard(nd):
     mh = minhash_similarity(nd, "id", k=8, bands=4, threshold=0.5)
     exact = ngram_jaccard_pairs(nd, "id", threshold=0.5)
@@ -73,12 +92,77 @@ def test_simhash_near_pairs_runs(nd):
     assert p.filter("hamming > 1").count() == 0
 
 
+@pytest.mark.parametrize("max_hamming", [1, 2, 3])
+def test_simhash_near_pairs_complete_for_radius(nd, max_hamming):
+    """Candidate generation must find EVERY pair within the radius (the
+    round-1 two-half scheme missed hamming=2 pairs with one differing bit in
+    each half). Brute-force reference over collected fingerprints."""
+    fps = {r["id"]: r["simhash"] for r in simhash(nd, "id").collect()}
+    ids = sorted(fps)
+    want = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(fps[a] ^ fps[b]).count("1") <= max_hamming
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_pairs(nd, "id", max_hamming=max_hamming).collect()
+    }
+    assert got == want
+
+
 def test_embedding_near_dup_symmetric_bounds(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     pairs = embedding_near_dup(emb, threshold=0.4)
     rows = pairs.collect()
     assert all(-1.0 <= r["cosine"] <= 1.0 for r in rows)
     assert all(r["id_a"] < r["id_b"] for r in rows)
+
+
+def test_embedding_near_dup_lsh_recall_is_one(spark, sf_dir):
+    """On the planted-near-dup fixture the banded LSH path must recover
+    EXACTLY the brute-force pair set (recall 1.0, and rescoring guarantees
+    precision 1.0): planted pairs sit at sketch Hamming ≤ 5 of 32 bits,
+    inside the pigeonhole guarantee (≤ bands-1 = 7) with margin."""
+    from ingestr_spark.datagen import neardup_embeddings
+    from ingestr_spark.operators.dedup import embedding_near_dup_lsh
+
+    nde = neardup_embeddings(spark, sf_dir)
+    lsh = embedding_near_dup_lsh(nde, threshold=0.95, bits=32, bands=8)
+    # exact reference: blocked all-pairs over the same quantized vectors
+    exact = embedding_near_dup(
+        nde.withColumn("e", F.expr("transform(q, x -> CAST(x AS DOUBLE) / 10000)")),
+        id_col="id", vec_col="e", threshold=0.95,
+    )
+    lsh_pairs = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    assert lsh_pairs == exact_pairs and len(exact_pairs) > 0
+
+
+def test_embedding_near_dup_lsh_bucket_cap_equivalence(spark, sf_dir):
+    """With a generous hot-bucket cap the result is unchanged on the fixture
+    (the cap only engages on degenerate mega-buckets at corpus scale)."""
+    from ingestr_spark.datagen import neardup_embeddings
+    from ingestr_spark.operators.dedup import embedding_near_dup_lsh
+
+    nde = neardup_embeddings(spark, sf_dir)
+    plain = embedding_near_dup_lsh(nde, threshold=0.95)
+    capped = embedding_near_dup_lsh(nde, threshold=0.95, max_bucket_rows=200)
+    a = {(r["id_a"], r["id_b"]) for r in plain.collect()}
+    b = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert a == b
+
+
+def test_embedding_near_dup_blocked_matches_all_block_counts(spark, sf_dir):
+    """The blocked exact join is block-count-invariant (same pairs for any
+    n_blocks) — the partitioning knob must never change results."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ref = {(r["id_a"], r["id_b"]) for r in embedding_near_dup(emb, threshold=0.4, n_blocks=1).collect()}
+    for nb in (3, 8):
+        got = {(r["id_a"], r["id_b"]) for r in embedding_near_dup(emb, threshold=0.4, n_blocks=nb).collect()}
+        assert got == ref
+    assert len(ref) > 0
 
 
 def test_brute_force_topk_shape(spark, sf_dir):

@@ -77,6 +77,23 @@ def test_no_cartesian_in_minhash(spark, sf_dir):
     assert "CartesianProduct" not in _plan(pairs)
 
 
+def test_no_cartesian_in_embedding_neardup(spark, sf_dir):
+    """The exact low-threshold cosine join runs BLOCKED (equi-joins on block
+    ids), and the LSH near-dup path runs banded — neither plan may contain a
+    CartesianProduct or BroadcastNestedLoopJoin node."""
+    from ingestr_spark.datagen import neardup_embeddings
+    from ingestr_spark.operators.dedup import embedding_near_dup, embedding_near_dup_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    for df in (
+        embedding_near_dup(emb, threshold=0.4),
+        embedding_near_dup_lsh(neardup_embeddings(spark, sf_dir)),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_tier_scan_prunes_partitions(spark, tok, tmp_path):
     """S4: reading one month from a tier store must prune partitions at the
     scan (the Iceberg-native behavior, parquet-partition equivalent)."""
