@@ -500,6 +500,24 @@ def q_asof_daily_state(spark, sf_dir):
 
 
 
+def q_nearest_daily_state(spark, sf_dir):
+    """1-D nearest-key join (J7 find_closest analog, R/ingest.R:252-309):
+    attach the qc-good daily sum whose bucket is CLOSEST to each raw row's
+    ts, either direction, ties to the earlier bucket. Chunked two-pass
+    as-of composition — no bare-hot-key window over raw rows."""
+    from ingestr_spark.operators.asof import nearest_join
+
+    t = _tok(spark, sf_dir)
+    tier = (
+        t.filter("qc = 0")
+        .groupBy("source", F.date_trunc("day", "ts").alias("bucket"))
+        .agg(F.sum("n_tok").alias("day_sum"))
+    )
+    left = t.select("doc_id", "source", "ts")
+    out = nearest_join(left, tier, ["source"], "ts", "bucket", ["day_sum"])
+    return out.select("doc_id", "source", "day_sum", "nearest_dist")
+
+
 def q_busy_days_semijoin(spark, sf_dir):
     """P11 semi-join: restrict events to busy days then aggregate."""
     from ingestr_spark.operators.tsutil import keep_requested_dates
@@ -606,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users_daily": q_distinct_users_daily,
         "rollup_1d_hot": q_rollup_1d_hot,
         "asof_daily_state": q_asof_daily_state,
+        "nearest_daily_state": q_nearest_daily_state,
         "busy_days_semijoin": q_busy_days_semijoin,
         "gapfill_lag2_1d": q_gapfill_lag2_1d,
         "top3_docs_per_source": q_top3_docs_per_source,
@@ -654,6 +673,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_daily": oracles.DISTINCT_USERS_DAILY,
         "rollup_1d_hot": oracles.ROLLUP_1D_HOT,
         "asof_daily_state": oracles.ASOF_DAILY_STATE,
+        "nearest_daily_state": oracles.NEAREST_DAILY_STATE,
         "busy_days_semijoin": oracles.BUSY_DAYS_SEMIJOIN,
         "gapfill_lag2_1d": oracles.GAPFILL_LAG2_1D,
         "top3_docs_per_source": oracles.TOP3_DOCS_PER_SOURCE,

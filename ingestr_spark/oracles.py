@@ -584,6 +584,24 @@ FROM tok l ASOF LEFT JOIN tier r
   ON l.source = r.source AND l.ts >= r.bucket
 """
 
+# 1-D nearest-key join (J7 find_closest analog): nearest qc-good daily sum in
+# EITHER direction, ties to the earlier bucket. The oracle is a correlated
+# subquery (fine at sf0.01; the engine runs two chunked as-of passes).
+NEAREST_DAILY_STATE = f"""WITH {TOKENS_CTE},
+tier AS (
+  SELECT source, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         CAST(SUM(n_tok) AS BIGINT) AS day_sum
+  FROM tok WHERE qc = 0 GROUP BY 1, 2
+)
+SELECT l.doc_id_str AS doc_id, l.source,
+  (SELECT r.day_sum FROM tier r WHERE r.source = l.source
+     ORDER BY abs(epoch(r.bucket) - epoch(l.ts)), r.bucket LIMIT 1) AS day_sum,
+  (SELECT CAST(abs(epoch(r.bucket) - epoch(l.ts)) AS BIGINT) FROM tier r
+     WHERE r.source = l.source
+     ORDER BY abs(epoch(r.bucket) - epoch(l.ts)), r.bucket LIMIT 1) AS nearest_dist
+FROM tok l
+"""
+
 # ---- semi-join restriction / lag-fill / top-k ranks ---------------------------
 
 # P11 semi-join through the oracle: keep only events on busy days (>=350
