@@ -73,6 +73,15 @@ def q_rollup_1w(spark, sf_dir):
     )
 
 
+def q_rollup_1w_ref(spark, sf_dir):
+    """Reference-exact weekly buckets: lubridate::week 7-day blocks counted
+    from Jan 1 (R/get_obs_bysite_fluxnet.R:397-400), bucket = block start.
+    Distinct from the ISO '1w' tier for most dates."""
+    return _as_date_bucket(rollup_from_raw(_tok(spark, sf_dir), "1w_ref")).select(
+        "source", "bucket", *TIER_OUT_COLS
+    )
+
+
 def q_rollup_1mo_cascade(spark, sf_dir):
     """Continuous-aggregate cascade raw→1h→1d→1mo; oracle computes monthly
     DIRECTLY from raw — the algebraic-recombination equivalence is the check.
@@ -589,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1h": q_rollup_1h,
         "rollup_1d": q_rollup_1d,
         "rollup_1w": q_rollup_1w,
+        "rollup_1w_ref": q_rollup_1w_ref,
         "rollup_1mo_cascade": q_rollup_1mo_cascade,
         "rollup_1y_cascade": q_rollup_1y_cascade,
         "rollup_1d_salted": q_rollup_1d_salted,
@@ -638,6 +648,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1h": oracles.ROLLUP_1H,
         "rollup_1d": oracles.ROLLUP_1D,
         "rollup_1w": oracles.ROLLUP_1W,
+        "rollup_1w_ref": oracles.ROLLUP_1W_REF,
         "rollup_1mo_cascade": oracles.ROLLUP_1MO,
         "rollup_1y_cascade": oracles.ROLLUP_1Y,
         "rollup_1d_salted": oracles.ROLLUP_1D,

@@ -59,13 +59,22 @@ def daily_to(
     """Daily → weekly/monthly/annual rollup (A3/A4/A5): each var with its own
     aggregate ('mean'/'min'/'max'/'sum'); qc fraction columns re-averaged.
 
-    Weekly buckets = (year, week) like the reference's lubridate::week
-    grouping (R/get_obs_bysite_fluxnet.R:397-400); monthly points anchored to
-    the 15th; annual to Jan-01.
+    Weekly buckets = (year, week) with the reference's lubridate::week
+    definition — 7-day blocks counted from Jan 1, week = (yday-1) div 7 + 1
+    (R/get_obs_bysite_fluxnet.R:397-400). Round 1 used ISO weekofyear here,
+    which disagrees with the reference for most dates (and pairs a
+    year-crossing ISO week with the wrong calendar year); ``timescale="w_iso"``
+    keeps the ISO behavior. Monthly points anchored to the 15th; annual to
+    Jan-01.
     """
     key_cols = key_cols or ["sitename"]
     d = F.col(date_col)
     if timescale == "w":
+        bucket = [
+            F.year(d).alias("year"),
+            F.expr(f"CAST((dayofyear({date_col}) - 1) div 7 + 1 AS INT)").alias("week"),
+        ]
+    elif timescale == "w_iso":
         bucket = [F.year(d).alias("year"), F.weekofyear(d).alias("week")]
     elif timescale == "m":
         bucket = [F.date_add(F.date_trunc("month", d).cast("date"), 14).alias("date")]

@@ -27,8 +27,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-TIER_ORDER = ["raw", "1h", "1d", "1w", "1mo", "1y"]
+TIER_ORDER = ["raw", "1h", "1d", "1w", "1w_ref", "1mo", "1y"]
 TIER_GRAIN = {"1h": "hour", "1d": "day", "1w": "week", "1mo": "month", "1y": "year"}
+
+# Two weekly definitions, both supported:
+#   "1w"     — ISO weeks (date_trunc('week'): Monday-anchored, year-crossing)
+#              — the engine DEFAULT, matching Spark/DuckDB/ANSI conventions;
+#   "1w_ref" — the reference's lubridate::week blocks
+#              (R/get_obs_bysite_fluxnet.R:397-400): 7-day blocks counted
+#              from Jan 1 of each year, week = (yday-1) div 7 + 1, bucket =
+#              the block's first day (Jan-1-anchored; a short 1-2 day block
+#              53 exists at year end). The two disagree for most dates —
+#              e.g. 2023-01-01 (a Sunday) is ISO week 52 of 2022 but
+#              reference week 1 of 2023.
+
+
+def bucket_expr(tier: str, col: str):
+    """Calendar bucket for a tier as a timestamp column expression."""
+    if tier == "1w_ref":
+        return F.expr(
+            f"CAST(date_add(trunc({col}, 'YEAR'), "
+            f"CAST(((dayofyear({col}) - 1) div 7) * 7 AS INT)) AS TIMESTAMP)"
+        )
+    return F.date_trunc(TIER_GRAIN[tier], F.col(col))
 
 #: integer/exact accumulator columns stored per tier row
 ACC_COLS = [
@@ -67,11 +88,10 @@ def rollup_from_raw(
     QC fraction follows the reference's rule (quality codes {0,1} count as
     good, R/get_obs_bysite_fluxnet.R:787-832 via `qc <= threshold`).
     """
-    grain = TIER_GRAIN[tier]
     stats = with_token_stats(df)
     out = stats.groupBy(
         F.col(key).alias("source"),
-        F.date_trunc(grain, F.col(ts_col)).alias("bucket"),
+        bucket_expr(tier, ts_col).alias("bucket"),
     ).agg(
         F.count(F.lit(1)).alias("n_seq"),
         F.sum("n_tok").alias("sum_n_tok"),
@@ -94,10 +114,9 @@ def rollup_cascade(tier_df: DataFrame, to_tier: str, key: str = "source") -> Dat
     (tests/testthat/test_CRU_WFDEI_NDEP.R:131-195) and our tests assert per
     partitioning level.
     """
-    grain = TIER_GRAIN[to_tier]
     out = tier_df.groupBy(
         F.col(key).alias("source"),
-        F.date_trunc(grain, F.col("bucket")).alias("bucket"),
+        bucket_expr(to_tier, "bucket").alias("bucket"),
     ).agg(
         F.sum("n_seq").alias("n_seq"),
         F.sum("sum_n_tok").alias("sum_n_tok"),

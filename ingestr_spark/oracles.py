@@ -50,6 +50,12 @@ ROLLUP_1W = f"""WITH {TOKENS_CTE}
 {_tier_select("CAST(date_trunc('week', ts) AS DATE)")}
 """
 
+# reference weekly definition: lubridate::week 7-day blocks from Jan 1
+# (R/get_obs_bysite_fluxnet.R:397-400); bucket = first day of the block
+ROLLUP_1W_REF = f"""WITH {TOKENS_CTE}
+{_tier_select("CAST(date_trunc('year', ts) + INTERVAL (((dayofyear(ts) - 1) // 7) * 7) DAY AS DATE)")}
+"""
+
 # monthly tier: anchored to the 15th (R/init_dates_dataframe.R:73-78)
 ROLLUP_1MO = f"""WITH {TOKENS_CTE}
 {_tier_select("CAST(date_trunc('month', ts) + INTERVAL 14 DAY AS DATE)")}

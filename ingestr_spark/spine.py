@@ -7,8 +7,9 @@ d / m / y / h / hh, with
 * monthly points anchored to the 15th of the month
   (R/init_dates_dataframe.R:73-78; CRU floor+14 R/ingest_globalfields.R:972-975),
 * ``noleap=True`` dropping Feb-29 rows (R/init_dates_dataframe.R:105-108),
-* weekly buckets = (year, weekofyear) like lubridate::week grouping
-  (R/get_obs_bysite_fluxnet.R:397-400).
+* weekly spine = 7-day steps (the reference-exact lubridate::week BUCKETING
+  — 7-day blocks from Jan 1, R/get_obs_bysite_fluxnet.R:397-400 — lives in
+  operators/rollup.py ``bucket_expr("1w_ref", ...)`` and met.daily_to("w")).
 
 Everything is pure Spark SQL (``sequence`` + ``explode``) — generated on
 executors, never driver-side loops, so a 1000-year × 1M-key spine is still a
@@ -43,6 +44,76 @@ def noleap_filter(date_col):
 def anchor_month_15(date_col):
     """Monthly point anchored to the 15th (floor to month, +14 days)."""
     return F.date_add(F.date_trunc("month", date_col).cast("date"), 14)
+
+
+def init_dates_dataframe(
+    spark: SparkSession,
+    yrstart: int,
+    yrend: int,
+    startmoy: int = 1,
+    startdoy: int = 1,
+    timescale: str = "d",
+    endmoy: int = 12,
+    enddom: int = 31,
+    noleap: bool = False,
+) -> DataFrame:
+    """Reference-EXACT spine constructor (R/init_dates_dataframe.R:40-113),
+    including its end-point quirks:
+
+    * d:  start = yrstart-startmoy-01 + (startdoy-1) days,
+          end = yrend-endmoy-enddom (R:63-73);
+    * m:  the 15th of each month, start/end both pinned to the 15th (R:74-79);
+    * y:  start = yrstart-01-01, end = yrend-**07-01** (R:80-85) — the Jul-01
+          bound guarantees yrend's Jan-01 point is inside the range; emitted
+          points are Jan-01 of each year;
+    * h:  end at yrend-endmoy-enddom **23:00** (R:86-92); hh: ... 23:30 (R:93-99);
+    * degenerate range (start > end) or an invalid end date → a single row
+      with date = NULL, NOT an empty frame (R:102-104 ``tibble(date = NA)``);
+    * ``noleap`` drops Feb-29 rows (R:105-108).
+
+    Column ``date``: DateType for d/m/y, TimestampType for h/hh.
+    """
+    import datetime as _dt
+
+    is_ts = timescale in ("h", "hh")
+    try:
+        if timescale == "d":
+            start = _dt.date(yrstart, startmoy, 1) + _dt.timedelta(days=startdoy - 1)
+            end = _dt.date(yrend, endmoy, enddom)
+            step = "interval 1 day"
+        elif timescale == "m":
+            start = _dt.date(yrstart, startmoy, 15)
+            end = _dt.date(yrend, endmoy, 15)
+            step = "interval 1 month"
+        elif timescale == "y":
+            start = _dt.date(yrstart, 1, 1)
+            end = _dt.date(yrend, 7, 1)
+            step = "interval 1 year"
+        elif timescale == "h":
+            start = _dt.datetime(yrstart, startmoy, 1) + _dt.timedelta(days=startdoy - 1)
+            end = _dt.datetime(yrend, endmoy, enddom, 23, 0, 0)
+            step = "interval 1 hour"
+        elif timescale == "hh":
+            start = _dt.datetime(yrstart, startmoy, 1) + _dt.timedelta(days=startdoy - 1)
+            end = _dt.datetime(yrend, endmoy, enddom, 23, 30, 0)
+            step = "interval 30 minutes"
+        else:
+            raise ValueError(f"unknown timescale {timescale!r}")
+    except (ValueError, OverflowError) as e:
+        if "timescale" in str(e):
+            raise
+        start, end = None, None  # invalid calendar date -> degenerate
+
+    dtype = "timestamp" if is_ts else "date"
+    if start is None or end is None or start > end:
+        return spark.range(1).select(F.lit(None).cast(dtype).alias("date"))
+    lit = "TIMESTAMP" if is_ts else "DATE"
+    df = spark.range(1).select(
+        F.expr(f"explode(sequence({lit} '{start}', {lit} '{end}', {step})) AS date")
+    )
+    if noleap:
+        df = df.filter(noleap_filter(F.col("date")))
+    return df
 
 
 def date_spine(

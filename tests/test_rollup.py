@@ -88,3 +88,45 @@ def test_randomized_equivalences(spark):
     assert _rows(direct) == _rows(
         __import__("ingestr_spark.operators.skew", fromlist=["x"]).salted_rollup_from_raw(df, "1mo", 7)
     )
+
+
+def test_ref_week_semantics_vs_iso(spark):
+    """lubridate::week probe on a Jan-1-on-Sunday year (2023): the reference
+    counts 7-day blocks from Jan 1, so 2023-01-01 is week 1 anchored at
+    2023-01-01, while ISO date_trunc('week') places it in the Monday week of
+    2022-12-26. Also probes the short block 53 (Dec 31)."""
+    import datetime as dt
+
+    from ingestr_spark.operators.met import daily_to
+    from ingestr_spark.operators.rollup import bucket_expr
+
+    days = ["2023-01-01", "2023-01-07", "2023-01-08", "2023-12-30", "2023-12-31",
+            "2024-12-31"]  # 2024 is a leap year: Dec 31 = yday 366 -> week 53
+    df = spark.createDataFrame([(d,) for d in days], "d string").withColumn(
+        "d", F.to_date("d")
+    )
+    ref = {r["d"].isoformat(): r["b"] for r in df.select(
+        "d", bucket_expr("1w_ref", "d").cast("date").alias("b")).collect()}
+    assert ref["2023-01-01"] == dt.date(2023, 1, 1)
+    assert ref["2023-01-07"] == dt.date(2023, 1, 1)   # same 7-day block
+    assert ref["2023-01-08"] == dt.date(2023, 1, 8)   # next block
+    assert ref["2023-12-30"] == dt.date(2023, 12, 24) # block 52
+    assert ref["2023-12-31"] == dt.date(2023, 12, 31) # short block 53
+    assert ref["2024-12-31"] == dt.date(2024, 12, 30) # leap: yday 366, block 53
+    iso = {r["d"].isoformat(): r["b"] for r in df.select(
+        "d", bucket_expr("1w", "d").cast("date").alias("b")).collect()}
+    assert iso["2023-01-01"] == dt.date(2022, 12, 26)  # ISO disagrees
+
+    # daily_to 'w' now emits the reference's (year, week) pair
+    vals = df.withColumn("sitename", F.lit("s")).withColumn("v", F.lit(1.0))
+    wk = {(r["year"], r["week"]) for r in
+          daily_to(vals, "w", {"v": "mean"}, key_cols=["sitename"], date_col="d").collect()}
+    assert (2023, 1) in wk and (2023, 53) in wk and (2022, 52) not in wk
+
+
+def test_ref_week_cascade_equals_direct(tok):
+    """Daily buckets never straddle a 7-day block boundary, so the cascade
+    1d -> 1w_ref must equal the direct raw -> 1w_ref rollup exactly."""
+    direct = rollup_from_raw(tok, "1w_ref")
+    via = rollup_cascade(rollup_from_raw(tok, "1d"), "1w_ref")
+    assert _rows(direct) == _rows(via)

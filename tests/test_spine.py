@@ -59,3 +59,55 @@ def test_global_key_spine_shared_axis(spark):
     )
     s = global_key_spine(df, ["source"])
     assert s.count() == 2 * 4  # both keys get the global 4-day axis
+
+
+# ---- init_dates_dataframe reference-exact quirks -----------------------------
+
+def test_init_dates_yearly_jul01_end_rule(spark):
+    """R/init_dates_dataframe.R:80-85: yearly bound is yrend-07-01, so Jan-01
+    of yrend is always the last emitted point."""
+    from ingestr_spark.spine import init_dates_dataframe
+
+    d = [r["date"] for r in init_dates_dataframe(spark, 2019, 2022, timescale="y").collect()]
+    assert [x.isoformat() for x in d] == [
+        "2019-01-01", "2020-01-01", "2021-01-01", "2022-01-01"]
+
+
+def test_init_dates_degenerate_range_single_na_row(spark):
+    """R/init_dates_dataframe.R:102-104: start > end yields ONE NA row, not
+    an empty frame. Same for an invalid end date (e.g. Feb-31)."""
+    from ingestr_spark.spine import init_dates_dataframe
+
+    rev = init_dates_dataframe(spark, 2022, 2020, timescale="d").collect()
+    assert len(rev) == 1 and rev[0]["date"] is None
+    bad = init_dates_dataframe(spark, 2020, 2020, timescale="d", endmoy=2, enddom=31).collect()
+    assert len(bad) == 1 and bad[0]["date"] is None
+
+
+def test_init_dates_monthly_15th_and_bounds(spark):
+    from ingestr_spark.spine import init_dates_dataframe
+
+    d = [r["date"].isoformat() for r in
+         init_dates_dataframe(spark, 2020, 2020, timescale="m", startmoy=11, endmoy=12).collect()]
+    assert d == ["2020-11-15", "2020-12-15"]
+
+
+def test_init_dates_hourly_endpoints_and_startdoy(spark):
+    """R:86-99 — h ends at 23:00, hh at 23:30; startdoy offsets the start."""
+    from ingestr_spark.spine import init_dates_dataframe
+
+    h = init_dates_dataframe(spark, 2020, 2020, timescale="h", startmoy=1,
+                             startdoy=2, endmoy=1, enddom=2).collect()
+    assert h[0]["date"].isoformat() == "2020-01-02T00:00:00"
+    assert h[-1]["date"].isoformat() == "2020-01-02T23:00:00"
+    hh = init_dates_dataframe(spark, 2020, 2020, timescale="hh", endmoy=1, enddom=1).collect()
+    assert hh[-1]["date"].isoformat() == "2020-01-01T23:30:00"
+    assert len(hh) == 48
+
+
+def test_init_dates_noleap(spark):
+    from ingestr_spark.spine import init_dates_dataframe
+
+    d = init_dates_dataframe(spark, 2020, 2020, timescale="d", noleap=True)
+    assert d.filter("month(date) = 2 AND day(date) = 29").count() == 0
+    assert d.count() == 365
