@@ -553,16 +553,15 @@ def q_gapfill_lag2_1d(spark, sf_dir):
 
 
 def q_top3_docs_per_source(spark, sf_dir):
-    """R6 dedup-by-priority generalized: windowed top-3 per key."""
-    from pyspark.sql import Window
+    """R6 dedup-by-priority generalized: top-3 per key via the two-phase
+    partial-top-k (no bare-hot-key window over raw rows)."""
+    from ingestr_spark.operators.reshape import top_k_per_key
 
     t = _tok(spark, sf_dir)
-    w = Window.partitionBy("source").orderBy(F.col("n_tok").desc(), F.col("id").asc())
-    return (
-        t.withColumn("rank", F.row_number().over(w))
-        .filter("rank <= 3")
-        .select("source", "doc_id", "n_tok", "rank")
+    out = top_k_per_key(
+        t, ["source"], [F.col("n_tok").desc(), F.col("id").asc()], k=3
     )
+    return out.select("source", "doc_id", "n_tok", "rank")
 
 
 

@@ -91,11 +91,21 @@ def repeated_value_nullify(
 def norm_to_max(
     df: DataFrame, var: str, key_cols: list[str] | None = None, out_col: str | None = None
 ) -> DataFrame:
-    """Min-max normalize per key: (v - min) / (max - min)."""
+    """Min-max normalize per key: (v - min) / (max - min).
+
+    Aggregate-then-broadcast-join-back (same shape as
+    :func:`iqr_outlier_nullify`), NOT a bare-key window: a whole-partition
+    window with no frame pins every row of a hot key to one task, while the
+    per-key min/max table is tiny and the map-side partial agg reduces the
+    shuffle to one row per (partition, key)."""
     key_cols = key_cols or ["source"]
-    w = Window.partitionBy(*key_cols)
-    lo, hi = F.min(var).over(w), F.max(var).over(w)
-    return df.withColumn(out_col or var, (F.col(var) - lo) / (hi - lo))
+    bounds = df.groupBy(*key_cols).agg(
+        F.min(var).alias("_lo"), F.max(var).alias("_hi")
+    )
+    out = df.join(F.broadcast(bounds), on=key_cols, how="left")
+    return out.withColumn(
+        out_col or var, (F.col(var) - F.col("_lo")) / (F.col("_hi") - F.col("_lo"))
+    ).drop("_lo", "_hi")
 
 
 def quantile_consistency_nullify(

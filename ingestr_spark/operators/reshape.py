@@ -64,11 +64,40 @@ def dedup_by_priority(
     the full ordering of remaining columns via the priority column only —
     callers add tiebreakers to ``priority_col`` ordering if needed."""
     order = F.col(priority_col).asc() if ascending else F.col(priority_col).desc()
-    w = Window.partitionBy(*key_cols).orderBy(order)
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    return top_k_per_key(df, key_cols, [order], k=1).drop("rank")
+
+
+def top_k_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    order_by: list,
+    k: int,
+    rank_col: str = "rank",
+    sub=None,
+) -> DataFrame:
+    """Exact top-k rows per key in TWO window phases so no task ever holds a
+    whole hot key:
+
+    1. partial top-k per (key, sub-bucket) — ``sub`` defaults to the input
+       partition id, so the first exchange hashes on (key, sub) and a hot
+       key spreads over as many tasks as it has input splits;
+    2. final top-k over the survivors only (≤ k × n_buckets rows per key).
+
+    The union of per-bucket top-k always contains the global top-k, so with a
+    TOTAL ``order_by`` (callers must tie-break, e.g. by a unique id) the
+    result is exactly the single-window answer — equivalence-tested. Adds
+    ``rank_col`` (1..k)."""
+    sub = F.spark_partition_id() if sub is None else sub
+    w1 = Window.partitionBy(*key_cols, "_sub").orderBy(*order_by)
+    cand = (
+        df.withColumn("_sub", sub)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_sub", "_r1")
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(*order_by)
+    return cand.withColumn(rank_col, F.row_number().over(w2)).filter(
+        F.col(rank_col) <= k
     )
 
 

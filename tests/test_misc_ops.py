@@ -146,3 +146,38 @@ def test_reconstruct_hourly_timestamps(spark):
     out = reconstruct_hourly_timestamps(df, per_day=24)
     hours = [r["ts"].hour for r in out.orderBy("row_idx").collect()]
     assert hours == list(range(24)) * 2
+
+
+def test_top_k_per_key_equals_single_window(spark, tok):
+    """Two-phase partial top-k == the naive single bare-key window, for any
+    sub-bucketing (partition-id default and an explicit deterministic one)."""
+    from pyspark.sql import Window
+
+    from ingestr_spark.operators.reshape import top_k_per_key
+
+    w = Window.partitionBy("source").orderBy(F.col("n_tok").desc(), F.col("id").asc())
+    ref = sorted(
+        (r["source"], r["doc_id"], r["rank"])
+        for r in tok.withColumn("rank", F.row_number().over(w))
+        .filter("rank <= 3").select("source", "doc_id", "rank").collect()
+    )
+    for sub in (None, F.pmod(F.col("id"), F.lit(7))):
+        got = sorted(
+            (r["source"], r["doc_id"], r["rank"])
+            for r in top_k_per_key(
+                tok, ["source"], [F.col("n_tok").desc(), F.col("id").asc()], k=3,
+                sub=sub,
+            ).select("source", "doc_id", "rank").collect()
+        )
+        assert got == ref
+
+
+def test_norm_to_max_no_bare_key_window(spark, tok):
+    """norm_to_max is agg + broadcast-join-back: no Window node at all, and
+    the join is a BroadcastHashJoin."""
+    from ingestr_spark.operators.clean import norm_to_max
+
+    out = norm_to_max(tok.select("source", "n_tok"), "n_tok", ["source"], "nn")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
