@@ -424,6 +424,22 @@ def q_downscale_step(spark, sf_dir):
     return out.select("sitename", "date", "v")
 
 
+def q_downscale_polynom(spark, sf_dir):
+    """G7 quadratic-blend monthly->daily downscaling
+    (R/ingest_globalfields.R:1538-1626 semantics incl. prev-Dec/next-Jan
+    boundaries); bit-exact vs the formula-for-formula DuckDB port."""
+    from ingestr_spark.operators.downscale import downscale_monthly
+
+    t = _tok(spark, sf_dir)
+    m = t.groupBy(
+        F.col("source").alias("sitename"),
+        F.year("ts").alias("year"),
+        F.month("ts").alias("moy"),
+    ).agg((F.sum("n_tok").cast("double") / F.count(F.lit(1))).alias("v"))
+    out = downscale_monthly(m, ["v"], method="polynom", key_col="sitename")
+    return out.select("sitename", "date", "v")
+
+
 def q_gapfill_locf_1mo(spark, sf_dir):
     """Monthly tier (15th-anchored) LOCF over a per-source monthly spine."""
     tier = (
@@ -627,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampling_period_tokens": q_sampling_period_tokens,
         "depth_weighted_lineitem": q_depth_weighted_lineitem,
         "downscale_step": q_downscale_step,
+        "downscale_polynom": q_downscale_polynom,
         "gapfill_locf_1mo": q_gapfill_locf_1mo,
         "json_props_events": q_json_props_events,
         "sessions_events": q_sessions_events,
@@ -677,6 +694,7 @@ def oracle_sql() -> dict[str, str]:
         "sampling_period_tokens": oracles.SAMPLING_PERIOD_TOKENS,
         "depth_weighted_lineitem": oracles.DEPTH_WEIGHTED_LINEITEM,
         "downscale_step": oracles.DOWNSCALE_STEP,
+        "downscale_polynom": oracles.DOWNSCALE_POLYNOM,
         "gapfill_locf_1mo": oracles.GAPFILL_LOCF_1MO,
         "json_props_events": oracles.JSON_PROPS_EVENTS,
         "sessions_events": oracles.SESSIONS_EVENTS,

@@ -80,19 +80,23 @@ def monthly2daily(
         else:
             dtnew, nxt = float(nd[0]), mval_next
         # month-boundary values: day-count-weighted blends of neighbours
+        # NOTE: every power is written as an explicit product (x*x, not x**2)
+        # so the arithmetic is a fixed left-associative IEEE operation order
+        # reproducible verbatim in the DuckDB oracle (oracles.py
+        # DOWNSCALE_POLYNOM mirrors these formulas token-for-token).
         starttemp = (mval[m] * dt + last * dtold) / (dt + dtold)
         endtemp = (nxt * dtnew + mval[m] * dt) / (dtnew + dt)
         delta = endtemp - starttemp
-        d2t = endt**2 - startt**2
-        d3t = endt**3 - startt**3
+        d2t = endt * endt - startt * startt
+        d3t = endt * endt * endt - startt * startt * startt
         # quadratic coefficients conserving the monthly mean (approximately)
         a = (mval[m] * dt - delta * d2t / dt / 2.0 - starttemp * dt + delta * startt) / (
-            d3t / 3.0 - d2t**2 / dt / 2.0 - dt * startt**2 + startt * d2t
+            d3t / 3.0 - d2t * d2t / dt / 2.0 - dt * (startt * startt) + startt * d2t
         )
         b = delta / dt - a * (startt + endt)
-        c = starttemp - a * startt**2 - b * startt
+        c = starttemp - a * (startt * startt) - b * startt
         days = np.arange(day + 1, day + int(dt) + 1, dtype=np.float64)
-        dval[day : day + int(dt)] = a * days**2 + b * days + c
+        dval[day : day + int(dt)] = a * (days * days) + b * days + c
         day += int(dt)
         last = mval[m]
     return dval

@@ -501,6 +501,77 @@ FROM days d JOIN m mm
   ON mm.source = d.source AND mm.y = year(d.date) AND mm.moy = month(d.date)
 """
 
+# G7 polynom downscaling: the quadratic-blend kernel
+# (R/ingest_globalfields.R:1538-1626) ported formula-for-formula with the
+# SAME left-associative IEEE operand order as downscale.monthly2daily (which
+# writes every power as an explicit product for this reason) — bit-exact
+# match, not tolerance. Boundary values: lag/lead over the full per-site
+# monthly series (cross-year), falling back to same-year Dec/Jan like the
+# kernel's mval_prev/mval_next defaults.
+DOWNSCALE_POLYNOM = f"""WITH {TOKENS_CTE},
+m AS (
+  SELECT source, CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS moy,
+         CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS v
+  FROM tok GROUP BY 1, 2, 3
+),
+fully AS (SELECT source, y FROM m GROUP BY 1, 2 HAVING COUNT(*) = 12),
+mm AS (
+  SELECT m.*,
+    LAG(v)  OVER (PARTITION BY source ORDER BY y, moy) AS pv,
+    LEAD(v) OVER (PARTITION BY source ORDER BY y, moy) AS nv,
+    LAG(v)  OVER (PARTITION BY source, y ORDER BY moy) AS prev_in_year,
+    LEAD(v) OVER (PARTITION BY source, y ORDER BY moy) AS next_in_year,
+    FIRST_VALUE(v) OVER (PARTITION BY source, y ORDER BY moy) AS jan_v,
+    LAST_VALUE(v)  OVER (PARTITION BY source, y ORDER BY moy
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS dec_v
+  FROM m
+),
+c1 AS (
+  SELECT source, y, moy, v,
+    CAST(day(last_day(make_date(y, moy, 1))) AS DOUBLE) AS dt,
+    CASE WHEN moy = 1  THEN 31.0
+         ELSE CAST(day(last_day(make_date(y, moy - 1, 1))) AS DOUBLE) END AS dtold,
+    CASE WHEN moy = 12 THEN 31.0
+         ELSE CAST(day(last_day(make_date(y, moy + 1, 1))) AS DOUBLE) END AS dtnew,
+    CASE WHEN moy = 1  THEN COALESCE(pv, dec_v) ELSE prev_in_year END AS lastv,
+    CASE WHEN moy = 12 THEN COALESCE(nv, jan_v) ELSE next_in_year END AS nxt,
+    0.5 + CAST(dayofyear(make_date(y, moy, 1)) - 1 AS DOUBLE) AS startt
+  FROM mm JOIN fully USING (source, y)
+),
+c2 AS (
+  SELECT *, startt + dt AS endt,
+    (v * dt + lastv * dtold) / (dt + dtold) AS starttemp,
+    (nxt * dtnew + v * dt) / (dtnew + dt) AS endtemp
+  FROM c1
+),
+c3 AS (
+  SELECT *,
+    endtemp - starttemp AS delta,
+    endt * endt - startt * startt AS d2t,
+    endt * endt * endt - startt * startt * startt AS d3t
+  FROM c2
+),
+c4 AS (
+  SELECT *,
+    (v * dt - delta * d2t / dt / 2.0 - starttemp * dt + delta * startt) /
+    (d3t / 3.0 - d2t * d2t / dt / 2.0 - dt * (startt * startt) + startt * d2t) AS ca
+  FROM c3
+),
+c5 AS (SELECT *, delta / dt - ca * (startt + endt) AS cb FROM c4),
+c6 AS (SELECT *, starttemp - ca * (startt * startt) - cb * startt AS cc FROM c5),
+dd AS (
+  SELECT source, ca, cb, cc,
+    CAST(unnest(generate_series(make_date(y, moy, 1),
+                                last_day(make_date(y, moy, 1)),
+                                INTERVAL 1 DAY)) AS DATE) AS date
+  FROM c6
+)
+SELECT source AS sitename, date,
+  ca * (CAST(dayofyear(date) AS DOUBLE) * CAST(dayofyear(date) AS DOUBLE))
+    + cb * CAST(dayofyear(date) AS DOUBLE) + cc AS v
+FROM dd
+"""
+
 # monthly tier (anchored 15th) LOCF over a per-source monthly spine
 GAPFILL_LOCF_1MO = f"""WITH {TOKENS_CTE},
 tier AS (
