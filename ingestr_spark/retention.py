@@ -94,29 +94,37 @@ class AggregateStore:
             else rollup_cascade(source_df, tier)
         )
         agg = agg.withColumn("p_month", F.date_format("bucket", "yyyy-MM"))
+        # The aggregate feeds THREE consumers (todo discovery, the partition
+        # write, the manifest stats) — persist it so the expensive source
+        # aggregation runs exactly once per tier build, not once per
+        # consumer. Tier rows are bounded by keys × calendar buckets, so the
+        # cache is small relative to the source at any scale.
+        agg = agg.persist()
+        try:
+            done = self.completed_months(tier)
+            todo = {
+                r["p_month"]
+                for r in agg.select("p_month").distinct().collect()
+            } - done
+            if not todo:
+                return 0
 
-        done = self.completed_months(tier)
-        todo = {
-            r["p_month"]
-            for r in agg.select("p_month").distinct().collect()
-        } - done
-        if not todo:
-            return 0
+            pending = agg.filter(F.col("p_month").isin(list(todo)))
+            # explicit repartition on the write-partition key: one shuffle,
+            # each output partition written by few tasks (no small-file storm)
+            t0 = time.time()
+            pending.repartition("p_month", "source").write.mode("overwrite").partitionBy(
+                "p_month"
+            ).parquet(self.tier_path(tier))
+            wall_ms = int((time.time() - t0) * 1000)
 
-        pending = agg.filter(F.col("p_month").isin(list(todo)))
-        # explicit repartition on the write-partition key: one shuffle,
-        # each output partition written by few tasks (no small-file storm)
-        t0 = time.time()
-        pending.repartition("p_month", "source").write.mode("overwrite").partitionBy(
-            "p_month"
-        ).parquet(self.tier_path(tier))
-        wall_ms = int((time.time() - t0) * 1000)
-
-        stats = (
-            pending.groupBy("p_month")
-            .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("n_seq").alias("sum_n_seq"))
-            .collect()
-        )
+            stats = (
+                pending.groupBy("p_month")
+                .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("n_seq").alias("sum_n_seq"))
+                .collect()
+            )
+        finally:
+            agg.unpersist()
         now = time.time()
         self._log(
             tier,
@@ -149,63 +157,111 @@ class AggregateStore:
         return built
 
     # ---- incremental maintenance (continuous aggregates) ------------------
+    def staging_path(self, tier: str, job_id: str) -> str:
+        return f"{self.root}/staging/{tier}/{job_id}"
+
     def incremental_update(self, tier: str, new_raw: DataFrame, job_id: str | None = None) -> list[str]:
         """Merge NEW raw rows into one tier without touching unaffected
         partitions: aggregate the delta, union it with the existing rows of
         the affected months, recombine algebraically (sum/count/min/max
-        compose — same property the cascade relies on), dynamic-overwrite
-        only those month partitions. This is incremental materialized-view
-        maintenance; with Iceberg the write would be a MERGE INTO.
+        compose — same property the cascade relies on), and swap only those
+        month partitions. This is incremental materialized-view maintenance;
+        with Iceberg the write would be a MERGE INTO.
+
+        EXACTLY-ONCE protocol (single writer). The merged output is STAGED
+        to ``staging/<tier>/<job_id>`` before any tier partition is touched,
+        and a replay of the same job_id reconciles by phase:
+
+        1. job_id in the manifest            → fully committed: no-op;
+        2. staged output complete (_SUCCESS) → tier may be partially
+           swapped: REDO the swaps from the immutable staged copy (copy is
+           idempotent), then commit the manifest — never recompute from a
+           possibly-already-merged tier (the round-1 double-merge bug);
+        3. otherwise                         → tier is untouched by this
+           job: recompute the stage from scratch.
+
+        The manifest append is the commit point; staging is cleaned after.
+        Iceberg's atomic snapshot commit collapses phases 2-3 away.
 
         Returns the list of refreshed months.
         """
         import uuid as _uuid
 
         job_id = job_id or _uuid.uuid4().hex[:12]
-        # idempotence: a retried micro-batch (same job_id, e.g. streaming
-        # batchId) must not double-merge its delta
+        # phase 1: a retried micro-batch (same job_id, e.g. streaming
+        # batchId) that already committed must not double-merge its delta
         m = self.read_manifest(tier)
         if m is not None and m.filter(F.col("job_id") == job_id).limit(1).count() > 0:
             return []
-        delta = rollup_from_raw(new_raw, tier).withColumn(
-            "p_month", F.date_format("bucket", "yyyy-MM")
-        )
-        months = [r["p_month"] for r in delta.select("p_month").distinct().collect()]
-        if not months:
-            return []
-        acc = ["n_seq", "sum_n_tok", "min_n_tok", "max_n_tok",
-               "tok_sum", "tok_min", "tok_max", "qc_ok_cnt"]
-        cols = ["source", "bucket", *acc, "avg_n_tok", "qc_frac", "p_month"]
-        try:
-            existing = self.read_tier(tier).filter(F.col("p_month").isin(months))
-            merged_src = existing.select(*cols).unionByName(delta.select(*cols))
-        except Exception:
-            merged_src = delta.select(*cols)  # first-ever write
-        merged = rollup_cascade(merged_src, tier).withColumn(
-            "p_month", F.date_format("bucket", "yyyy-MM")
-        )
-        # the merge READS the same partitions the write OVERWRITES — cut the
-        # lineage first or the scan hits deleted files mid-write. (Iceberg's
-        # snapshot isolation makes this a non-issue; for parquet paths an
-        # eager localCheckpoint materializes the merged rows.)
-        merged = merged.localCheckpoint(eager=True)
-        merged.repartition("p_month", "source").write.mode("overwrite").partitionBy(
-            "p_month"
-        ).parquet(self.tier_path(tier))
+
+        staging = self.staging_path(tier, job_id)
+        marker = os.path.join(staging, "_STAGED_OK")
+        staged_ok = os.path.exists(marker)
+        if not staged_ok:
+            # phase 3: tier untouched by this job — build the stage
+            if os.path.exists(staging):
+                shutil.rmtree(staging)  # half-written stage from a crash
+            delta = rollup_from_raw(new_raw, tier).withColumn(
+                "p_month", F.date_format("bucket", "yyyy-MM")
+            )
+            acc = ["n_seq", "sum_n_tok", "min_n_tok", "max_n_tok",
+                   "tok_sum", "tok_min", "tok_max", "qc_ok_cnt"]
+            cols = ["source", "bucket", *acc, "avg_n_tok", "qc_frac", "p_month"]
+            delta = delta.select(*cols).persist()
+            try:
+                months = [r["p_month"] for r in delta.select("p_month").distinct().collect()]
+                if not months:
+                    return []
+                try:
+                    existing = self.read_tier(tier).filter(F.col("p_month").isin(months))
+                    merged_src = existing.select(*cols).unionByName(delta)
+                except Exception:
+                    merged_src = delta  # first-ever write
+                merged = rollup_cascade(merged_src, tier).withColumn(
+                    "p_month", F.date_format("bucket", "yyyy-MM")
+                )
+                # staging reads the live tier BEFORE anything is deleted, so
+                # no read-overwrite lineage conflict exists by construction
+                merged.repartition("p_month", "source").write.mode(
+                    "overwrite"
+                ).partitionBy("p_month").parquet(staging)
+                # marker = "stage complete, tier mutations may begin": its
+                # presence is what makes a replay REDO swaps instead of
+                # recomputing from a possibly-already-swapped tier
+                with open(marker, "w") as fh:
+                    fh.write(job_id)
+            finally:
+                delta.unpersist()
+
+        # phase 2 (also the tail of phase 3): swap staged month partitions
+        # into the tier from the immutable staged copy — idempotent on replay
+        months, stats = [], []
+        for entry in sorted(os.listdir(staging)):
+            if not entry.startswith("p_month="):
+                continue
+            months.append(entry.split("=", 1)[1])
+            dst = os.path.join(self.tier_path(tier), entry)
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copytree(os.path.join(staging, entry), dst)
+        staged = self.spark.read.parquet(staging)
         stats = (
-            merged.groupBy("p_month")
+            staged.groupBy("p_month")
             .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("n_seq").alias("sum_n_seq"))
             .collect()
         )
         import time as _time
 
         now = _time.time()
+        # commit point: the manifest append marks the job done
         self._log(tier, [
             {"p_month": r["p_month"], "n_rows": r["n_rows"],
              "sum_n_seq": r["sum_n_seq"], "wall_ms": 0, "job_id": job_id,
              "completed_at": now}
             for r in stats
         ])
+        shutil.rmtree(staging, ignore_errors=True)
         return sorted(months)
 
     # ---- verification + retention ----------------------------------------

@@ -11,7 +11,11 @@ module maps that to Spark's native incremental machinery:
   would use a processing-time trigger instead),
 * ``foreachBatch`` → :meth:`AggregateStore.incremental_update` keyed by the
   streaming ``batchId``, so retried batches are idempotent (exactly-once
-  tier maintenance on top of the at-least-once sink contract),
+  tier maintenance on top of the at-least-once sink contract; the merge is
+  crash-safe through its stage-then-swap commit protocol — see
+  incremental_update's docstring — so a batch that dies between the
+  partition swap and the manifest append reconciles instead of
+  double-merging on replay),
 * the 1h→1d→1mo cascade refreshes from the 1h delta inside the same batch.
 
 A watermark + window variant (for true event-time lateness handling) is

@@ -89,3 +89,82 @@ def test_windowed_counts_stream_plan(spark, tmp_path):
     q.awaitTermination()
     got = spark.sql("SELECT SUM(n_seq) FROM win_counts").collect()[0][0]
     assert got == 500
+
+
+def test_incremental_replay_after_crash_before_commit(spark, split_data, tmp_path, monkeypatch):
+    """Crash AFTER the partition swap but BEFORE the manifest append (the
+    round-1 double-merge window): the replayed job must reconcile from the
+    staged copy, not re-merge the delta into already-merged data."""
+    full, first, delta = split_data
+    store = AggregateStore(spark, str(tmp_path / "inc3"))
+    store.build_tier("1h", first)
+    want = _rows(rollup_from_raw(full, "1h"))
+
+    real_log = AggregateStore._log
+    calls = {"n": 0}
+
+    def crashing_log(self, tier, rows):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash before manifest commit")
+        return real_log(self, tier, rows)
+
+    monkeypatch.setattr(AggregateStore, "_log", crashing_log)
+    with pytest.raises(RuntimeError):
+        store.incremental_update("1h", delta, job_id="batch-9")
+    # data already merged, manifest missing -> replay must NOT double-merge
+    months = store.incremental_update("1h", delta, job_id="batch-9")
+    assert months  # reconciled and committed this time
+    assert _rows(store.read_tier("1h")) == want
+    # and a further replay is a committed no-op
+    assert store.incremental_update("1h", delta, job_id="batch-9") == []
+    assert _rows(store.read_tier("1h")) == want
+
+
+def test_incremental_replay_after_crash_mid_swap(spark, split_data, tmp_path, monkeypatch):
+    """Crash during the partition swaps (some months swapped, some not):
+    replay redoes every swap from the immutable staged copy."""
+    import shutil as _sh
+
+    full, first, delta = split_data
+    store = AggregateStore(spark, str(tmp_path / "inc4"))
+    store.build_tier("1h", first)
+    want = _rows(rollup_from_raw(full, "1h"))
+
+    real_copy = _sh.copytree
+    calls = {"n": 0}
+
+    def crashing_copy(src, dst, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # let the first month through, then die
+            raise RuntimeError("simulated crash mid-swap")
+        return real_copy(src, dst, **kw)
+
+    monkeypatch.setattr("ingestr_spark.retention.shutil.copytree", crashing_copy)
+    with pytest.raises(RuntimeError):
+        store.incremental_update("1h", delta, job_id="batch-10")
+    monkeypatch.setattr("ingestr_spark.retention.shutil.copytree", real_copy)
+    months = store.incremental_update("1h", delta, job_id="batch-10")
+    assert months
+    assert _rows(store.read_tier("1h")) == want
+
+
+def test_build_tier_single_source_scan(spark, tmp_path):
+    """The tier aggregate feeds todo-discovery, the write, and the manifest
+    stats; with the persist fix the SOURCE is scanned exactly once per
+    build (counted with an accumulator inside a mapInPandas passthrough)."""
+    import pandas as pd
+
+    n = 1500
+    raw = synth_tokens(spark, n, max_ntok=16)
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    spied = raw.mapInPandas(counting, raw.schema)
+    store = AggregateStore(spark, str(tmp_path / "scan1"))
+    store.build_tier("1d", spied)
+    assert acc.value == n  # one scan, not one per consumer
