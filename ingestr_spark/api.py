@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ingestr_spark.sources.fluxnet import (
     fluxnet_glob,
+    resolve_fluxnet_file,
     read_fluxnet_csv,
     select_getvars,
 )
@@ -134,7 +135,8 @@ def ingest(
         if source == "fluxnet":
             frames = [
                 read_fluxnet_csv(
-                    spark, fluxnet_glob(dir, s, timescale), timescale, sitename=s
+                    # S2 conflict rule: largest matching file wins
+                    spark, resolve_fluxnet_file(dir, s, timescale), timescale, sitename=s
                 )
                 for s in sites
             ]

@@ -46,14 +46,25 @@ def read_fluxnet_csv(
         .option("inferSchema", True)
         .csv(path)
     )
-    # the CSV option handles one sentinel; map the rest on string cols
+    # the CSV option handles one sentinel pre-inference; map the rest:
+    # string cols get the full sentinel list, and NUMERIC cols null -9999
+    # too — a column whose text is '-9999.0' infers as double and would
+    # otherwise keep -9999.0 as a real value (the reference nulls every NA
+    # sentinel form, R/get_obs_bysite_fluxnet.R:1227).
+    _ts_cols = ("TIMESTAMP", "TIMESTAMP_START", "TIMESTAMP_END")
     for c, t in df.dtypes:
-        if t == "string" and c not in ("TIMESTAMP", "TIMESTAMP_START", "TIMESTAMP_END"):
+        if c in _ts_cols:
+            continue
+        if t == "string":
             df = df.withColumn(
                 c,
                 F.when(F.col(c).isin("", "NA", "-9999", "-9999.0"), None)
                 .otherwise(F.col(c))
                 .cast("double"),
+            )
+        elif t in ("double", "float", "int", "bigint"):
+            df = df.withColumn(
+                c, F.when(F.col(c) == -9999, None).otherwise(F.col(c))
             )
 
     if freq == "y":
@@ -83,6 +94,27 @@ def read_fluxnet_csv(
 def fluxnet_glob(dir_: str, sitename: str, freq: str) -> str:
     """The reference's discovery pattern (R/get_obs_bysite_fluxnet.R:205-254)."""
     return f"{dir_}/FLX_{sitename}_*_FULLSET_{FREQ_TAG[freq]}*.csv"
+
+
+def resolve_fluxnet_file(dir_: str, sitename: str, freq: str) -> str:
+    """S2 conflict rule: recursive discovery; when the pattern matches more
+    than one file, read ONLY the largest by file size (ties -> first in
+    alphabetical listing order, matching R's which.max over list.files), per
+    R/get_obs_bysite_fluxnet.R:237-254. Raises FileNotFoundError when
+    nothing matches (the reference stops, R:237-243). Driver-side listing —
+    a catalog operation, same as the reference's file.info scan."""
+    import glob as _glob
+    import os as _os
+
+    pattern = f"FLX_{sitename}_*_FULLSET_{FREQ_TAG[freq]}*.csv"
+    matches = sorted(
+        _glob.glob(_os.path.join(dir_, "**", pattern), recursive=True)
+    )
+    if not matches:
+        raise FileNotFoundError(
+            f"No files found for timescale {freq!r} in sub-directories of {dir_}"
+        )
+    return max(matches, key=_os.path.getsize)
 
 
 def select_getvars(

@@ -194,3 +194,37 @@ def test_decimal_date(spark):
     got = [r["x"] for r in df.select(calc.decimal_date(F.col("d")).alias("x")).orderBy("x").collect()]
     assert got[0] == pytest.approx(2020 + 365 / 366)
     assert got[1] == pytest.approx(2021.0)
+
+
+def test_numeric_sentinel_9999_dot_0_nulled(spark, tmp_path):
+    """A column whose NA text is '-9999.0' infers as numeric and must still
+    be nulled (R/get_obs_bysite_fluxnet.R:1227 nulls all sentinel forms)."""
+    rows = ["TIMESTAMP,TA_F,PREC", "20210101,-9999.0,1.5", "20210102,12.5,-9999.0"]
+    f = tmp_path / "FLX_ZZ-Sen_FLUXNET2015_FULLSET_DD_2021-2021_1-3.csv"
+    f.write_text("\n".join(rows))
+    df = read_fluxnet_csv(spark, str(f), "d")
+    got = {r["date"].isoformat(): (r["TA_F"], r["PREC"]) for r in df.collect()}
+    assert got["2021-01-01"] == (None, 1.5)
+    assert got["2021-01-02"] == (12.5, None)
+
+
+def test_largest_file_wins(spark, tmp_path):
+    """S2 conflict rule (R/get_obs_bysite_fluxnet.R:237-254): two files match
+    the pattern (one nested in a sub-directory); only the LARGEST is read."""
+    from ingestr_spark.sources.fluxnet import resolve_fluxnet_file
+
+    small = tmp_path / "FLX_YY-Dup_FLUXNET2015_FULLSET_DD_2021-2021_1-3.csv"
+    small.write_text("TIMESTAMP,TA_F\n20210101,1.0\n")
+    sub = tmp_path / "nested"
+    sub.mkdir()
+    big = sub / "FLX_YY-Dup_FLUXNET2015_FULLSET_DD_2021-2022_2-4.csv"
+    big.write_text("TIMESTAMP,TA_F\n" + "\n".join(
+        f"202101{d:02d},{d}.0" for d in range(1, 20)))
+    picked = resolve_fluxnet_file(str(tmp_path), "YY-Dup", "d")
+    assert picked == str(big)
+    df = read_fluxnet_csv(spark, picked, "d", sitename="YY-Dup")
+    assert df.count() == 19  # only the big file's rows
+
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        resolve_fluxnet_file(str(tmp_path), "NO-Site", "d")
