@@ -440,6 +440,75 @@ def q_downscale_polynom(spark, sf_dir):
     return out.select("sitename", "date", "v")
 
 
+def _smooth_series(spark, sf_dir, kind: str):
+    """Deterministic per-source polynomial series for the smoother oracles:
+    d = 1..61 daily, coefficients keyed by length(source)."""
+    srcs = _tok(spark, sf_dir).select("source").distinct()
+    s = srcs.select(
+        "source", F.explode(F.expr("sequence(1, 61)")).alias("d")
+    ).withColumn("bucket", F.expr("date_add(DATE '2022-01-01', CAST(d AS INT))"))
+    k = "length(source)"
+    if kind == "cubic":
+        v = f"CAST(d*d*d - 7*d*d + {k}*d + 3*{k} AS DOUBLE)"
+    else:  # linear
+        v = f"CAST({k}*d + 7 AS DOUBLE)"
+    return s.withColumn("v", F.expr(v))
+
+
+def q_smooth_sgolay_cubic(spark, sf_dir):
+    """G5 Savitzky-Golay driver-visible exactness oracle: a degree-3 filter
+    must reproduce an exact cubic series (incl. the boundary-window fits) —
+    the same property test_smooth proves, now oracle-checked. Values rounded
+    to 4 decimals on both sides (FP noise ~1e-9 around exact integers)."""
+    from ingestr_spark.operators.smooth import smooth_fill
+
+    s = _smooth_series(spark, sf_dir, "cubic")
+    out = smooth_fill(s, "v", method="sgolay", key_cols=["source"])
+    return out.select("source", "bucket", F.round("v_sgolay", 4).alias("v_sg"))
+
+
+def q_smooth_all_linear(spark, sf_dir):
+    """G3/G4/G6 oracle: LOESS (local quadratic), the Reinsch smoothing
+    spline (zero roughness penalty on linear data), and Savitzky-Golay must
+    ALL reproduce an exact linear series; keep_all exercises the G6 mux."""
+    from ingestr_spark.operators.smooth import smooth_fill
+
+    s = _smooth_series(spark, sf_dir, "linear")
+    out = smooth_fill(s, "v", method="loess", key_cols=["source"], keep_all=True)
+    return out.select(
+        "source", "bucket",
+        F.round("v_loess", 4).alias("v_lo"),
+        F.round("v_spline", 4).alias("v_sp"),
+        F.round("v_sgolay", 4).alias("v_sg"),
+    )
+
+
+def q_downscale_prec_golden(spark, sf_dir):
+    """G8 seeded stochastic precip generator vs its STORED GOLDEN (the
+    generator is not SQL-expressible; the oracle freezes the exact daily
+    values for (hot, 2023) produced by the declared blake2b(key, year) seed
+    spec — see oracles.DOWNSCALE_PREC_GOLDEN)."""
+    from ingestr_spark.operators.downscale import downscale_monthly
+
+    t = _tok(spark, sf_dir).filter("source = 'hot' AND year(ts) = 2023")
+    m = t.groupBy(
+        F.lit("hot").alias("sitename"),
+        F.year("ts").alias("year"),
+        F.month("ts").alias("moy"),
+    ).agg(
+        (F.sum("n_tok").cast("double") / 50).alias("prec"),
+        F.least(F.count(F.lit(1)), F.lit(15)).cast("double").alias("wetd"),
+    )
+    out = downscale_monthly(m, [], method="step", prec_col="prec",
+                            wetd_col="wetd", key_col="sitename")
+    # integer micro-units: cross-engine float-literal parsing is not
+    # ulp-reliable, integers hash identically
+    return out.select(
+        "sitename", "date",
+        F.round(F.col("prec") * 1e6).cast("long").alias("prec_micro"),
+    )
+
+
 def q_gapfill_locf_1mo(spark, sf_dir):
     """Monthly tier (15th-anchored) LOCF over a per-source monthly spine."""
     tier = (
@@ -644,6 +713,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "depth_weighted_lineitem": q_depth_weighted_lineitem,
         "downscale_step": q_downscale_step,
         "downscale_polynom": q_downscale_polynom,
+        "smooth_sgolay_cubic": q_smooth_sgolay_cubic,
+        "smooth_all_linear": q_smooth_all_linear,
+        "downscale_prec_golden": q_downscale_prec_golden,
         "gapfill_locf_1mo": q_gapfill_locf_1mo,
         "json_props_events": q_json_props_events,
         "sessions_events": q_sessions_events,
@@ -695,6 +767,9 @@ def oracle_sql() -> dict[str, str]:
         "depth_weighted_lineitem": oracles.DEPTH_WEIGHTED_LINEITEM,
         "downscale_step": oracles.DOWNSCALE_STEP,
         "downscale_polynom": oracles.DOWNSCALE_POLYNOM,
+        "smooth_sgolay_cubic": oracles.SMOOTH_SGOLAY_CUBIC,
+        "smooth_all_linear": oracles.SMOOTH_ALL_LINEAR,
+        "downscale_prec_golden": oracles.DOWNSCALE_PREC_GOLDEN,
         "gapfill_locf_1mo": oracles.GAPFILL_LOCF_1MO,
         "json_props_events": oracles.JSON_PROPS_EVENTS,
         "sessions_events": oracles.SESSIONS_EVENTS,

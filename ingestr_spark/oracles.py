@@ -572,6 +572,30 @@ SELECT source AS sitename, date,
 FROM dd
 """
 
+# G3/G4/G5 smoother exactness oracles: each kernel must reproduce a series
+# it can represent exactly — Savitzky-Golay (poly=3) an exact cubic, LOESS
+# (local quadratic) and the Reinsch spline (zero second difference -> zero
+# roughness penalty) an exact line. The oracle is the closed-form series
+# itself; both sides round to 4 decimals (kernel FP noise ~1e-9).
+_SMOOTH_SERIES = """
+s AS (SELECT DISTINCT source FROM tok),
+sd AS (SELECT source, unnest(range(1, 62)) AS d FROM s)
+"""
+
+SMOOTH_SGOLAY_CUBIC = f"""WITH {TOKENS_CTE}, {_SMOOTH_SERIES}
+SELECT source, CAST(DATE '2022-01-01' + INTERVAL (d) DAY AS DATE) AS bucket,
+       round(CAST(d*d*d - 7*d*d + length(source)*d + 3*length(source) AS DOUBLE), 4) AS v_sg
+FROM sd
+"""
+
+SMOOTH_ALL_LINEAR = f"""WITH {TOKENS_CTE}, {_SMOOTH_SERIES}
+SELECT source, CAST(DATE '2022-01-01' + INTERVAL (d) DAY AS DATE) AS bucket,
+       round(CAST(length(source)*d + 7 AS DOUBLE), 4) AS v_lo,
+       round(CAST(length(source)*d + 7 AS DOUBLE), 4) AS v_sp,
+       round(CAST(length(source)*d + 7 AS DOUBLE), 4) AS v_sg
+FROM sd
+"""
+
 # monthly tier (anchored 15th) LOCF over a per-source monthly spine
 GAPFILL_LOCF_1MO = f"""WITH {TOKENS_CTE},
 tier AS (
@@ -729,4 +753,384 @@ s AS (
 SELECT source, COUNT(*) AS n_days
 FROM s WHERE NOT (month(d) = 2 AND day(d) = 29)
 GROUP BY 1
+"""
+
+
+# G8 stored-golden oracle for the seeded stochastic precip generator
+# (R/ingest_globalfields.R:1397-1517 semantics; DETERMINISM SPEC: seed =
+# blake2b(key, year), downscale.py docstring). The generator is not
+# SQL-expressible, so the oracle is a STORED GOLDEN: the exact 365 daily
+# values for (source='hot', year=2023) at sf0.01, produced once by the
+# generator itself and frozen here in integer MICRO-UNITS
+# (round(prec * 1e6) — integers dodge cross-engine float-literal parsing
+# ulps). Regressions in the kernel, the seeding, or the renormalization all
+# break the hash. Conservation/determinism properties are separately
+# pytest-verified (test_downscale).
+DOWNSCALE_PREC_GOLDEN = """SELECT 'hot' AS sitename, d AS date, p AS prec_micro FROM (VALUES
+  (DATE '2023-01-01', CAST(32513995 AS BIGINT)),
+  (DATE '2023-01-02', CAST(0 AS BIGINT)),
+  (DATE '2023-01-03', CAST(0 AS BIGINT)),
+  (DATE '2023-01-04', CAST(0 AS BIGINT)),
+  (DATE '2023-01-05', CAST(0 AS BIGINT)),
+  (DATE '2023-01-06', CAST(0 AS BIGINT)),
+  (DATE '2023-01-07', CAST(0 AS BIGINT)),
+  (DATE '2023-01-08', CAST(0 AS BIGINT)),
+  (DATE '2023-01-09', CAST(0 AS BIGINT)),
+  (DATE '2023-01-10', CAST(0 AS BIGINT)),
+  (DATE '2023-01-11', CAST(0 AS BIGINT)),
+  (DATE '2023-01-12', CAST(0 AS BIGINT)),
+  (DATE '2023-01-13', CAST(43038990 AS BIGINT)),
+  (DATE '2023-01-14', CAST(0 AS BIGINT)),
+  (DATE '2023-01-15', CAST(0 AS BIGINT)),
+  (DATE '2023-01-16', CAST(39386576 AS BIGINT)),
+  (DATE '2023-01-17', CAST(1770617 AS BIGINT)),
+  (DATE '2023-01-18', CAST(0 AS BIGINT)),
+  (DATE '2023-01-19', CAST(16940799 AS BIGINT)),
+  (DATE '2023-01-20', CAST(10059229 AS BIGINT)),
+  (DATE '2023-01-21', CAST(0 AS BIGINT)),
+  (DATE '2023-01-22', CAST(0 AS BIGINT)),
+  (DATE '2023-01-23', CAST(0 AS BIGINT)),
+  (DATE '2023-01-24', CAST(0 AS BIGINT)),
+  (DATE '2023-01-25', CAST(0 AS BIGINT)),
+  (DATE '2023-01-26', CAST(0 AS BIGINT)),
+  (DATE '2023-01-27', CAST(0 AS BIGINT)),
+  (DATE '2023-01-28', CAST(0 AS BIGINT)),
+  (DATE '2023-01-29', CAST(14409977 AS BIGINT)),
+  (DATE '2023-01-30', CAST(19419816 AS BIGINT)),
+  (DATE '2023-01-31', CAST(0 AS BIGINT)),
+  (DATE '2023-02-01', CAST(0 AS BIGINT)),
+  (DATE '2023-02-02', CAST(0 AS BIGINT)),
+  (DATE '2023-02-03', CAST(0 AS BIGINT)),
+  (DATE '2023-02-04', CAST(6787185 AS BIGINT)),
+  (DATE '2023-02-05', CAST(0 AS BIGINT)),
+  (DATE '2023-02-06', CAST(0 AS BIGINT)),
+  (DATE '2023-02-07', CAST(48843766 AS BIGINT)),
+  (DATE '2023-02-08', CAST(0 AS BIGINT)),
+  (DATE '2023-02-09', CAST(0 AS BIGINT)),
+  (DATE '2023-02-10', CAST(4363685 AS BIGINT)),
+  (DATE '2023-02-11', CAST(1305364 AS BIGINT)),
+  (DATE '2023-02-12', CAST(0 AS BIGINT)),
+  (DATE '2023-02-13', CAST(0 AS BIGINT)),
+  (DATE '2023-02-14', CAST(0 AS BIGINT)),
+  (DATE '2023-02-15', CAST(0 AS BIGINT)),
+  (DATE '2023-02-16', CAST(0 AS BIGINT)),
+  (DATE '2023-02-17', CAST(0 AS BIGINT)),
+  (DATE '2023-02-18', CAST(0 AS BIGINT)),
+  (DATE '2023-02-19', CAST(0 AS BIGINT)),
+  (DATE '2023-02-20', CAST(0 AS BIGINT)),
+  (DATE '2023-02-21', CAST(0 AS BIGINT)),
+  (DATE '2023-02-22', CAST(0 AS BIGINT)),
+  (DATE '2023-02-23', CAST(0 AS BIGINT)),
+  (DATE '2023-02-24', CAST(0 AS BIGINT)),
+  (DATE '2023-02-25', CAST(0 AS BIGINT)),
+  (DATE '2023-02-26', CAST(0 AS BIGINT)),
+  (DATE '2023-02-27', CAST(0 AS BIGINT)),
+  (DATE '2023-02-28', CAST(0 AS BIGINT)),
+  (DATE '2023-03-01', CAST(0 AS BIGINT)),
+  (DATE '2023-03-02', CAST(0 AS BIGINT)),
+  (DATE '2023-03-03', CAST(0 AS BIGINT)),
+  (DATE '2023-03-04', CAST(0 AS BIGINT)),
+  (DATE '2023-03-05', CAST(0 AS BIGINT)),
+  (DATE '2023-03-06', CAST(0 AS BIGINT)),
+  (DATE '2023-03-07', CAST(0 AS BIGINT)),
+  (DATE '2023-03-08', CAST(0 AS BIGINT)),
+  (DATE '2023-03-09', CAST(0 AS BIGINT)),
+  (DATE '2023-03-10', CAST(0 AS BIGINT)),
+  (DATE '2023-03-11', CAST(43831278 AS BIGINT)),
+  (DATE '2023-03-12', CAST(843837 AS BIGINT)),
+  (DATE '2023-03-13', CAST(0 AS BIGINT)),
+  (DATE '2023-03-14', CAST(112327046 AS BIGINT)),
+  (DATE '2023-03-15', CAST(0 AS BIGINT)),
+  (DATE '2023-03-16', CAST(0 AS BIGINT)),
+  (DATE '2023-03-17', CAST(0 AS BIGINT)),
+  (DATE '2023-03-18', CAST(0 AS BIGINT)),
+  (DATE '2023-03-19', CAST(0 AS BIGINT)),
+  (DATE '2023-03-20', CAST(0 AS BIGINT)),
+  (DATE '2023-03-21', CAST(0 AS BIGINT)),
+  (DATE '2023-03-22', CAST(0 AS BIGINT)),
+  (DATE '2023-03-23', CAST(0 AS BIGINT)),
+  (DATE '2023-03-24', CAST(1422999 AS BIGINT)),
+  (DATE '2023-03-25', CAST(0 AS BIGINT)),
+  (DATE '2023-03-26', CAST(0 AS BIGINT)),
+  (DATE '2023-03-27', CAST(2000149 AS BIGINT)),
+  (DATE '2023-03-28', CAST(0 AS BIGINT)),
+  (DATE '2023-03-29', CAST(0 AS BIGINT)),
+  (DATE '2023-03-30', CAST(0 AS BIGINT)),
+  (DATE '2023-03-31', CAST(9694691 AS BIGINT)),
+  (DATE '2023-04-01', CAST(77142153 AS BIGINT)),
+  (DATE '2023-04-02', CAST(0 AS BIGINT)),
+  (DATE '2023-04-03', CAST(0 AS BIGINT)),
+  (DATE '2023-04-04', CAST(0 AS BIGINT)),
+  (DATE '2023-04-05', CAST(0 AS BIGINT)),
+  (DATE '2023-04-06', CAST(0 AS BIGINT)),
+  (DATE '2023-04-07', CAST(0 AS BIGINT)),
+  (DATE '2023-04-08', CAST(0 AS BIGINT)),
+  (DATE '2023-04-09', CAST(0 AS BIGINT)),
+  (DATE '2023-04-10', CAST(0 AS BIGINT)),
+  (DATE '2023-04-11', CAST(0 AS BIGINT)),
+  (DATE '2023-04-12', CAST(0 AS BIGINT)),
+  (DATE '2023-04-13', CAST(12141195 AS BIGINT)),
+  (DATE '2023-04-14', CAST(0 AS BIGINT)),
+  (DATE '2023-04-15', CAST(5441616 AS BIGINT)),
+  (DATE '2023-04-16', CAST(0 AS BIGINT)),
+  (DATE '2023-04-17', CAST(0 AS BIGINT)),
+  (DATE '2023-04-18', CAST(0 AS BIGINT)),
+  (DATE '2023-04-19', CAST(0 AS BIGINT)),
+  (DATE '2023-04-20', CAST(0 AS BIGINT)),
+  (DATE '2023-04-21', CAST(0 AS BIGINT)),
+  (DATE '2023-04-22', CAST(0 AS BIGINT)),
+  (DATE '2023-04-23', CAST(30069049 AS BIGINT)),
+  (DATE '2023-04-24', CAST(0 AS BIGINT)),
+  (DATE '2023-04-25', CAST(10567730 AS BIGINT)),
+  (DATE '2023-04-26', CAST(0 AS BIGINT)),
+  (DATE '2023-04-27', CAST(0 AS BIGINT)),
+  (DATE '2023-04-28', CAST(67798256 AS BIGINT)),
+  (DATE '2023-04-29', CAST(0 AS BIGINT)),
+  (DATE '2023-04-30', CAST(0 AS BIGINT)),
+  (DATE '2023-05-01', CAST(0 AS BIGINT)),
+  (DATE '2023-05-02', CAST(0 AS BIGINT)),
+  (DATE '2023-05-03', CAST(8572700 AS BIGINT)),
+  (DATE '2023-05-04', CAST(32678496 AS BIGINT)),
+  (DATE '2023-05-05', CAST(0 AS BIGINT)),
+  (DATE '2023-05-06', CAST(0 AS BIGINT)),
+  (DATE '2023-05-07', CAST(0 AS BIGINT)),
+  (DATE '2023-05-08', CAST(0 AS BIGINT)),
+  (DATE '2023-05-09', CAST(0 AS BIGINT)),
+  (DATE '2023-05-10', CAST(0 AS BIGINT)),
+  (DATE '2023-05-11', CAST(0 AS BIGINT)),
+  (DATE '2023-05-12', CAST(0 AS BIGINT)),
+  (DATE '2023-05-13', CAST(0 AS BIGINT)),
+  (DATE '2023-05-14', CAST(0 AS BIGINT)),
+  (DATE '2023-05-15', CAST(0 AS BIGINT)),
+  (DATE '2023-05-16', CAST(0 AS BIGINT)),
+  (DATE '2023-05-17', CAST(0 AS BIGINT)),
+  (DATE '2023-05-18', CAST(0 AS BIGINT)),
+  (DATE '2023-05-19', CAST(0 AS BIGINT)),
+  (DATE '2023-05-20', CAST(0 AS BIGINT)),
+  (DATE '2023-05-21', CAST(0 AS BIGINT)),
+  (DATE '2023-05-22', CAST(0 AS BIGINT)),
+  (DATE '2023-05-23', CAST(0 AS BIGINT)),
+  (DATE '2023-05-24', CAST(0 AS BIGINT)),
+  (DATE '2023-05-25', CAST(0 AS BIGINT)),
+  (DATE '2023-05-26', CAST(23273540 AS BIGINT)),
+  (DATE '2023-05-27', CAST(0 AS BIGINT)),
+  (DATE '2023-05-28', CAST(7215264 AS BIGINT)),
+  (DATE '2023-05-29', CAST(0 AS BIGINT)),
+  (DATE '2023-05-30', CAST(0 AS BIGINT)),
+  (DATE '2023-05-31', CAST(0 AS BIGINT)),
+  (DATE '2023-06-01', CAST(0 AS BIGINT)),
+  (DATE '2023-06-02', CAST(5357969 AS BIGINT)),
+  (DATE '2023-06-03', CAST(27466474 AS BIGINT)),
+  (DATE '2023-06-04', CAST(16218609 AS BIGINT)),
+  (DATE '2023-06-05', CAST(28427267 AS BIGINT)),
+  (DATE '2023-06-06', CAST(91037788 AS BIGINT)),
+  (DATE '2023-06-07', CAST(0 AS BIGINT)),
+  (DATE '2023-06-08', CAST(0 AS BIGINT)),
+  (DATE '2023-06-09', CAST(0 AS BIGINT)),
+  (DATE '2023-06-10', CAST(0 AS BIGINT)),
+  (DATE '2023-06-11', CAST(0 AS BIGINT)),
+  (DATE '2023-06-12', CAST(0 AS BIGINT)),
+  (DATE '2023-06-13', CAST(13392316 AS BIGINT)),
+  (DATE '2023-06-14', CAST(0 AS BIGINT)),
+  (DATE '2023-06-15', CAST(0 AS BIGINT)),
+  (DATE '2023-06-16', CAST(0 AS BIGINT)),
+  (DATE '2023-06-17', CAST(0 AS BIGINT)),
+  (DATE '2023-06-18', CAST(0 AS BIGINT)),
+  (DATE '2023-06-19', CAST(0 AS BIGINT)),
+  (DATE '2023-06-20', CAST(0 AS BIGINT)),
+  (DATE '2023-06-21', CAST(24389997 AS BIGINT)),
+  (DATE '2023-06-22', CAST(0 AS BIGINT)),
+  (DATE '2023-06-23', CAST(0 AS BIGINT)),
+  (DATE '2023-06-24', CAST(0 AS BIGINT)),
+  (DATE '2023-06-25', CAST(10582500 AS BIGINT)),
+  (DATE '2023-06-26', CAST(7508964 AS BIGINT)),
+  (DATE '2023-06-27', CAST(0 AS BIGINT)),
+  (DATE '2023-06-28', CAST(0 AS BIGINT)),
+  (DATE '2023-06-29', CAST(3441913 AS BIGINT)),
+  (DATE '2023-06-30', CAST(22136203 AS BIGINT)),
+  (DATE '2023-07-01', CAST(0 AS BIGINT)),
+  (DATE '2023-07-02', CAST(0 AS BIGINT)),
+  (DATE '2023-07-03', CAST(0 AS BIGINT)),
+  (DATE '2023-07-04', CAST(0 AS BIGINT)),
+  (DATE '2023-07-05', CAST(34478861 AS BIGINT)),
+  (DATE '2023-07-06', CAST(3865122 AS BIGINT)),
+  (DATE '2023-07-07', CAST(0 AS BIGINT)),
+  (DATE '2023-07-08', CAST(0 AS BIGINT)),
+  (DATE '2023-07-09', CAST(0 AS BIGINT)),
+  (DATE '2023-07-10', CAST(0 AS BIGINT)),
+  (DATE '2023-07-11', CAST(0 AS BIGINT)),
+  (DATE '2023-07-12', CAST(0 AS BIGINT)),
+  (DATE '2023-07-13', CAST(0 AS BIGINT)),
+  (DATE '2023-07-14', CAST(0 AS BIGINT)),
+  (DATE '2023-07-15', CAST(0 AS BIGINT)),
+  (DATE '2023-07-16', CAST(0 AS BIGINT)),
+  (DATE '2023-07-17', CAST(61528287 AS BIGINT)),
+  (DATE '2023-07-18', CAST(4309324 AS BIGINT)),
+  (DATE '2023-07-19', CAST(0 AS BIGINT)),
+  (DATE '2023-07-20', CAST(3538407 AS BIGINT)),
+  (DATE '2023-07-21', CAST(0 AS BIGINT)),
+  (DATE '2023-07-22', CAST(0 AS BIGINT)),
+  (DATE '2023-07-23', CAST(0 AS BIGINT)),
+  (DATE '2023-07-24', CAST(0 AS BIGINT)),
+  (DATE '2023-07-25', CAST(0 AS BIGINT)),
+  (DATE '2023-07-26', CAST(0 AS BIGINT)),
+  (DATE '2023-07-27', CAST(0 AS BIGINT)),
+  (DATE '2023-07-28', CAST(0 AS BIGINT)),
+  (DATE '2023-07-29', CAST(0 AS BIGINT)),
+  (DATE '2023-07-30', CAST(0 AS BIGINT)),
+  (DATE '2023-07-31', CAST(0 AS BIGINT)),
+  (DATE '2023-08-01', CAST(0 AS BIGINT)),
+  (DATE '2023-08-02', CAST(0 AS BIGINT)),
+  (DATE '2023-08-03', CAST(0 AS BIGINT)),
+  (DATE '2023-08-04', CAST(3171530 AS BIGINT)),
+  (DATE '2023-08-05', CAST(0 AS BIGINT)),
+  (DATE '2023-08-06', CAST(0 AS BIGINT)),
+  (DATE '2023-08-07', CAST(0 AS BIGINT)),
+  (DATE '2023-08-08', CAST(10461383 AS BIGINT)),
+  (DATE '2023-08-09', CAST(0 AS BIGINT)),
+  (DATE '2023-08-10', CAST(0 AS BIGINT)),
+  (DATE '2023-08-11', CAST(8051194 AS BIGINT)),
+  (DATE '2023-08-12', CAST(0 AS BIGINT)),
+  (DATE '2023-08-13', CAST(0 AS BIGINT)),
+  (DATE '2023-08-14', CAST(0 AS BIGINT)),
+  (DATE '2023-08-15', CAST(0 AS BIGINT)),
+  (DATE '2023-08-16', CAST(11049297 AS BIGINT)),
+  (DATE '2023-08-17', CAST(0 AS BIGINT)),
+  (DATE '2023-08-18', CAST(0 AS BIGINT)),
+  (DATE '2023-08-19', CAST(0 AS BIGINT)),
+  (DATE '2023-08-20', CAST(0 AS BIGINT)),
+  (DATE '2023-08-21', CAST(0 AS BIGINT)),
+  (DATE '2023-08-22', CAST(4050452 AS BIGINT)),
+  (DATE '2023-08-23', CAST(2089433 AS BIGINT)),
+  (DATE '2023-08-24', CAST(35238421 AS BIGINT)),
+  (DATE '2023-08-25', CAST(32945964 AS BIGINT)),
+  (DATE '2023-08-26', CAST(0 AS BIGINT)),
+  (DATE '2023-08-27', CAST(0 AS BIGINT)),
+  (DATE '2023-08-28', CAST(0 AS BIGINT)),
+  (DATE '2023-08-29', CAST(13839385 AS BIGINT)),
+  (DATE '2023-08-30', CAST(7019138 AS BIGINT)),
+  (DATE '2023-08-31', CAST(5463802 AS BIGINT)),
+  (DATE '2023-09-01', CAST(0 AS BIGINT)),
+  (DATE '2023-09-02', CAST(0 AS BIGINT)),
+  (DATE '2023-09-03', CAST(0 AS BIGINT)),
+  (DATE '2023-09-04', CAST(0 AS BIGINT)),
+  (DATE '2023-09-05', CAST(0 AS BIGINT)),
+  (DATE '2023-09-06', CAST(0 AS BIGINT)),
+  (DATE '2023-09-07', CAST(33831736 AS BIGINT)),
+  (DATE '2023-09-08', CAST(13409062 AS BIGINT)),
+  (DATE '2023-09-09', CAST(0 AS BIGINT)),
+  (DATE '2023-09-10', CAST(0 AS BIGINT)),
+  (DATE '2023-09-11', CAST(0 AS BIGINT)),
+  (DATE '2023-09-12', CAST(0 AS BIGINT)),
+  (DATE '2023-09-13', CAST(12144109 AS BIGINT)),
+  (DATE '2023-09-14', CAST(0 AS BIGINT)),
+  (DATE '2023-09-15', CAST(12146480 AS BIGINT)),
+  (DATE '2023-09-16', CAST(13267607 AS BIGINT)),
+  (DATE '2023-09-17', CAST(0 AS BIGINT)),
+  (DATE '2023-09-18', CAST(0 AS BIGINT)),
+  (DATE '2023-09-19', CAST(0 AS BIGINT)),
+  (DATE '2023-09-20', CAST(11116529 AS BIGINT)),
+  (DATE '2023-09-21', CAST(0 AS BIGINT)),
+  (DATE '2023-09-22', CAST(0 AS BIGINT)),
+  (DATE '2023-09-23', CAST(0 AS BIGINT)),
+  (DATE '2023-09-24', CAST(0 AS BIGINT)),
+  (DATE '2023-09-25', CAST(132045 AS BIGINT)),
+  (DATE '2023-09-26', CAST(846165 AS BIGINT)),
+  (DATE '2023-09-27', CAST(10380862 AS BIGINT)),
+  (DATE '2023-09-28', CAST(10727136 AS BIGINT)),
+  (DATE '2023-09-29', CAST(21658270 AS BIGINT)),
+  (DATE '2023-09-30', CAST(0 AS BIGINT)),
+  (DATE '2023-10-01', CAST(0 AS BIGINT)),
+  (DATE '2023-10-02', CAST(0 AS BIGINT)),
+  (DATE '2023-10-03', CAST(0 AS BIGINT)),
+  (DATE '2023-10-04', CAST(0 AS BIGINT)),
+  (DATE '2023-10-05', CAST(0 AS BIGINT)),
+  (DATE '2023-10-06', CAST(0 AS BIGINT)),
+  (DATE '2023-10-07', CAST(0 AS BIGINT)),
+  (DATE '2023-10-08', CAST(0 AS BIGINT)),
+  (DATE '2023-10-09', CAST(0 AS BIGINT)),
+  (DATE '2023-10-10', CAST(0 AS BIGINT)),
+  (DATE '2023-10-11', CAST(0 AS BIGINT)),
+  (DATE '2023-10-12', CAST(42161292 AS BIGINT)),
+  (DATE '2023-10-13', CAST(0 AS BIGINT)),
+  (DATE '2023-10-14', CAST(0 AS BIGINT)),
+  (DATE '2023-10-15', CAST(0 AS BIGINT)),
+  (DATE '2023-10-16', CAST(0 AS BIGINT)),
+  (DATE '2023-10-17', CAST(0 AS BIGINT)),
+  (DATE '2023-10-18', CAST(0 AS BIGINT)),
+  (DATE '2023-10-19', CAST(0 AS BIGINT)),
+  (DATE '2023-10-20', CAST(0 AS BIGINT)),
+  (DATE '2023-10-21', CAST(0 AS BIGINT)),
+  (DATE '2023-10-22', CAST(0 AS BIGINT)),
+  (DATE '2023-10-23', CAST(0 AS BIGINT)),
+  (DATE '2023-10-24', CAST(0 AS BIGINT)),
+  (DATE '2023-10-25', CAST(0 AS BIGINT)),
+  (DATE '2023-10-26', CAST(65918708 AS BIGINT)),
+  (DATE '2023-10-27', CAST(0 AS BIGINT)),
+  (DATE '2023-10-28', CAST(0 AS BIGINT)),
+  (DATE '2023-10-29', CAST(0 AS BIGINT)),
+  (DATE '2023-10-30', CAST(0 AS BIGINT)),
+  (DATE '2023-10-31', CAST(0 AS BIGINT)),
+  (DATE '2023-11-01', CAST(0 AS BIGINT)),
+  (DATE '2023-11-02', CAST(0 AS BIGINT)),
+  (DATE '2023-11-03', CAST(0 AS BIGINT)),
+  (DATE '2023-11-04', CAST(0 AS BIGINT)),
+  (DATE '2023-11-05', CAST(0 AS BIGINT)),
+  (DATE '2023-11-06', CAST(0 AS BIGINT)),
+  (DATE '2023-11-07', CAST(0 AS BIGINT)),
+  (DATE '2023-11-08', CAST(0 AS BIGINT)),
+  (DATE '2023-11-09', CAST(0 AS BIGINT)),
+  (DATE '2023-11-10', CAST(90182566 AS BIGINT)),
+  (DATE '2023-11-11', CAST(0 AS BIGINT)),
+  (DATE '2023-11-12', CAST(0 AS BIGINT)),
+  (DATE '2023-11-13', CAST(0 AS BIGINT)),
+  (DATE '2023-11-14', CAST(0 AS BIGINT)),
+  (DATE '2023-11-15', CAST(0 AS BIGINT)),
+  (DATE '2023-11-16', CAST(0 AS BIGINT)),
+  (DATE '2023-11-17', CAST(0 AS BIGINT)),
+  (DATE '2023-11-18', CAST(16775568 AS BIGINT)),
+  (DATE '2023-11-19', CAST(0 AS BIGINT)),
+  (DATE '2023-11-20', CAST(0 AS BIGINT)),
+  (DATE '2023-11-21', CAST(0 AS BIGINT)),
+  (DATE '2023-11-22', CAST(39341866 AS BIGINT)),
+  (DATE '2023-11-23', CAST(0 AS BIGINT)),
+  (DATE '2023-11-24', CAST(0 AS BIGINT)),
+  (DATE '2023-11-25', CAST(0 AS BIGINT)),
+  (DATE '2023-11-26', CAST(0 AS BIGINT)),
+  (DATE '2023-11-27', CAST(0 AS BIGINT)),
+  (DATE '2023-11-28', CAST(0 AS BIGINT)),
+  (DATE '2023-11-29', CAST(0 AS BIGINT)),
+  (DATE '2023-11-30', CAST(0 AS BIGINT)),
+  (DATE '2023-12-01', CAST(0 AS BIGINT)),
+  (DATE '2023-12-02', CAST(0 AS BIGINT)),
+  (DATE '2023-12-03', CAST(0 AS BIGINT)),
+  (DATE '2023-12-04', CAST(32294396 AS BIGINT)),
+  (DATE '2023-12-05', CAST(29079215 AS BIGINT)),
+  (DATE '2023-12-06', CAST(0 AS BIGINT)),
+  (DATE '2023-12-07', CAST(0 AS BIGINT)),
+  (DATE '2023-12-08', CAST(0 AS BIGINT)),
+  (DATE '2023-12-09', CAST(51117883 AS BIGINT)),
+  (DATE '2023-12-10', CAST(0 AS BIGINT)),
+  (DATE '2023-12-11', CAST(732123 AS BIGINT)),
+  (DATE '2023-12-12', CAST(0 AS BIGINT)),
+  (DATE '2023-12-13', CAST(0 AS BIGINT)),
+  (DATE '2023-12-14', CAST(0 AS BIGINT)),
+  (DATE '2023-12-15', CAST(0 AS BIGINT)),
+  (DATE '2023-12-16', CAST(15656522 AS BIGINT)),
+  (DATE '2023-12-17', CAST(21147412 AS BIGINT)),
+  (DATE '2023-12-18', CAST(0 AS BIGINT)),
+  (DATE '2023-12-19', CAST(0 AS BIGINT)),
+  (DATE '2023-12-20', CAST(0 AS BIGINT)),
+  (DATE '2023-12-21', CAST(0 AS BIGINT)),
+  (DATE '2023-12-22', CAST(24123491 AS BIGINT)),
+  (DATE '2023-12-23', CAST(915506 AS BIGINT)),
+  (DATE '2023-12-24', CAST(0 AS BIGINT)),
+  (DATE '2023-12-25', CAST(0 AS BIGINT)),
+  (DATE '2023-12-26', CAST(0 AS BIGINT)),
+  (DATE '2023-12-27', CAST(0 AS BIGINT)),
+  (DATE '2023-12-28', CAST(0 AS BIGINT)),
+  (DATE '2023-12-29', CAST(0 AS BIGINT)),
+  (DATE '2023-12-30', CAST(11233452 AS BIGINT)),
+  (DATE '2023-12-31', CAST(0 AS BIGINT))
+) AS g(d, p)
 """
