@@ -126,11 +126,15 @@ def run_scaling() -> dict:
     peak-throughput figure). Levels are INTERLEAVED across rounds so every
     level samples the same shared-host noise distribution; per-level result
     is the min across rounds."""
-    rounds = max(2, PROBE_RUNS // 3)
+    import statistics
+
+    rounds = max(3, PROBE_RUNS // 3)  # +1 paired sample vs round 1
     best: dict[int, float] = {2: float("inf"), 8: float("inf"), 32: float("inf")}
     # the shared host's load shifts minute to minute, so N and 4N are only
     # comparable when probed back-to-back: efficiency is computed PER ROUND
-    # (paired samples) and the quietest round is reported
+    # (paired samples); both the BEST (quietest round) and the MEDIAN over
+    # every round ever observed are reported — the 0.8 bar is judged on the
+    # median, not only the quietest round
     round_eff: list[float] = []
     for _ in range(rounds):
         t = {}
@@ -138,24 +142,27 @@ def run_scaling() -> dict:
             t[cores] = _spawn_probe(cores)
             best[cores] = min(best[cores], t[cores])
         round_eff.append((t[2] / t[8]) / 4)
-    # rolling best across bench invocations approximates the uncontended box
+    # rolling cache across bench invocations: best wall times approximate the
+    # uncontended box; round efficiencies accumulate UNSORTED and UNTRIMMED
+    # (round 1 kept only the top-10, which upward-biased any median)
     cache = f"{REPO}/BENCH/scaling_best.json"
     try:
         with open(cache) as f:
             prior = json.load(f)
         for c in best:
             best[c] = min(best[c], prior.get(str(c), float("inf")))
-        round_eff += prior.get("round_eff", [])
+        round_eff = prior.get("round_eff", []) + round_eff
     except (OSError, ValueError):
         pass
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
     with open(cache, "w") as f:
         json.dump({**{str(k): v for k, v in best.items()},
-                   "round_eff": sorted(round_eff, reverse=True)[:10]}, f)
+                   "round_eff": round_eff[-60:]}, f)
     res: dict = {"synth_rows": SYNTH_ROWS,
                  "protocol": (f"{rounds} interleaved rounds x best-of-3 in-JVM "
-                              "runs; efficiency from paired rounds; rolling "
-                              "best across bench invocations")}
+                              "runs; efficiency from paired rounds; best wall "
+                              "times and the full round-efficiency sample "
+                              "accumulate across bench invocations")}
     for cores, secs in best.items():
         res[f"local{cores}"] = {
             "sec": round(secs, 3),
@@ -163,8 +170,10 @@ def run_scaling() -> dict:
         }
     t8 = res["local8"]["mseq_per_sec"]
     t32 = res["local32"]["mseq_per_sec"]
-    res["efficiency_2_to_8"] = round(max(round_eff), 3)
-    res["efficiency_rounds"] = [round(e, 3) for e in sorted(round_eff, reverse=True)[:5]]
+    res["efficiency_2_to_8_best"] = round(max(round_eff), 3)
+    res["efficiency_2_to_8_median"] = round(statistics.median(round_eff), 3)
+    res["efficiency_n_rounds"] = len(round_eff)
+    res["efficiency_rounds"] = [round(e, 3) for e in sorted(round_eff, reverse=True)]
     res["efficiency_8_to_32"] = round((t32 / t8) / 4, 3)
     return res
 
@@ -186,8 +195,15 @@ def write_bench_md(scaling: dict, queries: dict[str, float]) -> None:
         f"| local[8]  (4N) | {scaling['local8']['sec']} | {scaling['local8']['mseq_per_sec']} |",
         f"| local[32] (peak) | {scaling['local32']['sec']} | {scaling['local32']['mseq_per_sec']} |",
         "",
-        f"**Scaling efficiency N→4N (2→8 threads, paired rounds) = {scaling['efficiency_2_to_8']}**",
-        f"(per-round paired efficiencies observed: {scaling['efficiency_rounds']})",
+        f"**Scaling efficiency N→4N (2→8 threads, paired rounds): median = "
+        f"{scaling['efficiency_2_to_8_median']}, best = "
+        f"{scaling['efficiency_2_to_8_best']}** over "
+        f"{scaling['efficiency_n_rounds']} paired rounds",
+        f"(all per-round paired efficiencies, sorted: {scaling['efficiency_rounds']})",
+        "",
+        "The 0.8 bar is judged on the MEDIAN across every paired round ever",
+        "run on this box, not only the quietest round; the best round shows",
+        "the low-noise ceiling.",
         "",
         f"(8→32 efficiency = {scaling['efficiency_8_to_32']}: at 32 threads the",
         "job completes in ~1 s and fixed per-job overhead — stage scheduling,",
@@ -241,7 +257,8 @@ def main() -> None:
     }
     if scaling:
         out["throughput_mseq_per_sec"] = scaling["local32"]["mseq_per_sec"]
-        out["scaling_efficiency"] = scaling["efficiency_2_to_8"]
+        out["scaling_efficiency"] = scaling["efficiency_2_to_8_median"]
+        out["scaling_efficiency_best"] = scaling["efficiency_2_to_8_best"]
         out["scaling"] = scaling
     print(json.dumps(out))
 
