@@ -341,6 +341,21 @@ def q_ann_topk(spark, sf_dir):
     return brute_force_topk(emb, queries_df, k=5)
 
 
+def q_ann_topk_lsh(spark, sf_dir):
+    """Bucketed ANN (the 10^9-vector path): hyperplane sign buckets +
+    Hamming-1 multiprobe + exact rescore. The oracle mirrors the full
+    algorithm in DuckDB — identical integer buckets on both engines prove
+    partitioning/engine independence."""
+    from ingestr_spark.operators.similarity import lsh_topk
+
+    apply_engine_conf(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries_df, k=5, bits=8, multiprobe=True)
+
+
 def q_text_stats(spark, sf_dir):
     from ingestr_spark.functions import text as X
 
@@ -706,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "ann_topk": q_ann_topk,
+        "ann_topk_lsh": q_ann_topk_lsh,
         "text_stats": q_text_stats,
         "bitqc_filter": q_bitqc_filter,
         "pivot_events_daily": q_pivot_events_daily,
@@ -760,6 +776,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": oracles.EMBEDDING_NEARDUP,
         "embedding_neardup_lsh": oracles.EMBEDDING_NEARDUP_LSH,
         "ann_topk": oracles.ANN_TOPK,
+        "ann_topk_lsh": oracles.ANN_TOPK_LSH,
         "text_stats": oracles.TEXT_STATS,
         "bitqc_filter": oracles.BITQC_FILTER,
         "pivot_events_daily": oracles.PIVOT_EVENTS_DAILY,

@@ -392,6 +392,43 @@ ranked AS (
 SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
 """
 
+# LSH ANN path (the 10^9-vector route): the DuckDB oracle mirrors the FULL
+# algorithm — quantization, the quadratic-mix hyperplane sign sketch
+# (similarity.py weights, pure integer arithmetic so both engines compute
+# identical buckets), Hamming-1 multiprobe, exact rescoring, top-k. This is
+# a self-consistency oracle: it proves the bucketing is engine- and
+# partitioning-independent; recall vs brute force is the separate pytest.
+ANN_TOPK_LSH = f"""WITH {_QEMB},
+nb AS (
+  SELECT id, q, nrm,
+    CAST(list_sum(list_transform(range(0, 8), p ->
+      CASE WHEN list_sum(list_transform(range(1, len(q) + 1), i ->
+        q[i] * ((CAST(p*len(q)+i AS BIGINT)*CAST(p*len(q)+i AS BIGINT)*3571
+                 + CAST(p*len(q)+i AS BIGINT)*8191) % 4001 - 2000)
+      )) > 0 THEN 2**p ELSE 0 END)) AS INT) AS bucket
+  FROM n
+),
+probes AS (
+  SELECT id, q, nrm,
+         unnest(list_prepend(bucket,
+           list_transform(range(0, 8),
+                          b -> CAST(xor(bucket::BIGINT, CAST(2**b AS BIGINT)) AS INT)))) AS bucket
+  FROM nb WHERE id < 10
+),
+cand AS (
+  SELECT DISTINCT pr.id AS query_id, c.id AS vec_id,
+    CAST(list_sum(list_transform(range(1, len(c.q) + 1), i -> c.q[i] * pr.q[i])) AS DOUBLE)
+      / sqrt(CAST(c.nrm AS DOUBLE) * CAST(pr.nrm AS DOUBLE)) AS cosine
+  FROM nb c JOIN probes pr ON c.bucket = pr.bucket AND c.id <> pr.id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+"""
+
 TEXT_STATS = r"""
 WITH s AS (
   SELECT doc_id, text, lang,

@@ -66,6 +66,72 @@ def refresh_store_availablenow(
     q.awaitTermination()
 
 
+def stateful_locf_stream(
+    raw_stream: DataFrame,
+    value_col: str = "n_tok",
+    key: str = "source",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Custom STATEFUL streaming operator via ``applyInPandasWithState``:
+    per-key last-observation-carried-forward across micro-batches.
+
+    The batch LOCF (operators/gapfill.py) becomes streaming state: the last
+    non-null (value, ts) per key lives in the state store, survives batch
+    boundaries and restarts (checkpointed), and each arriving row is emitted
+    with nulls filled from the carried value plus the gap to the previous
+    observation. This is the streaming analog of W3/G2 and the pattern for
+    any custom stateful operator the built-in windowed aggregates can't
+    express (the task's applyInPandasWithState mandate).
+
+    Rows inside one micro-batch are processed in event-time order; state is
+    one (double, long) pair per key — O(keys) store, no unbounded growth,
+    so NoTimeout is safe.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key} string, {ts_col} timestamp, {value_col} double, "
+        "filled boolean, gap_seconds long"
+    )
+    state_schema = "last_v double, last_ts long"
+
+    def fn(key_tuple, pdf_iter, state: GroupState):
+        last_v, last_ts = state.get if state.exists else (None, None)
+        frames = [p for p in pdf_iter if len(p)]
+        if not frames:
+            yield pd.DataFrame(
+                {key: [], ts_col: pd.Series([], dtype="datetime64[ns]"),
+                 value_col: [], "filled": pd.Series([], dtype=bool),
+                 "gap_seconds": pd.Series([], dtype="int64")})
+            return
+        pdf = pd.concat(frames).sort_values(ts_col)
+        vals, filled, gaps = [], [], []
+        for _, row in pdf.iterrows():
+            v = row[value_col]
+            t = int(pd.Timestamp(row[ts_col]).value // 1_000_000_000)
+            if pd.isna(v):
+                vals.append(last_v)
+                filled.append(True)
+            else:
+                vals.append(float(v))
+                filled.append(False)
+                last_v = float(v)
+            gaps.append(t - last_ts if last_ts is not None else None)
+            last_ts = t
+        state.update((last_v, last_ts))
+        yield pd.DataFrame({
+            key: pdf[key].iloc[0], ts_col: pdf[ts_col],
+            value_col: pd.array(vals, dtype="float64"),
+            "filled": filled,
+            "gap_seconds": pd.array(gaps, dtype="Int64"),
+        })
+
+    return raw_stream.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def windowed_counts_stream(
     raw_stream: DataFrame,
     window: str = "1 hour",

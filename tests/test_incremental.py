@@ -168,3 +168,44 @@ def test_build_tier_single_source_scan(spark, tmp_path):
     store = AggregateStore(spark, str(tmp_path / "scan1"))
     store.build_tier("1d", spied)
     assert acc.value == n  # one scan, not one per consumer
+
+
+def test_stateful_locf_stream_carries_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState LOCF: a null arriving in batch 2 is filled from
+    the last value seen in batch 1 — state survives the micro-batch boundary
+    through the checkpointed state store."""
+    import datetime as dt
+
+    from ingestr_spark.streaming.jobs import stateful_locf_stream
+
+    inp = str(tmp_path / "sin2")
+    ckpt = str(tmp_path / "sckpt2")
+    outp = str(tmp_path / "sout2")
+    schema = "source string, ts timestamp, n_tok double"
+
+    def drain(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(inp)
+        stream = spark.readStream.schema(
+            spark.read.parquet(inp).schema
+        ).option("maxFilesPerTrigger", 1000).parquet(inp)
+        q = (
+            stateful_locf_stream(stream).writeStream.format("parquet")
+            .option("path", outp).option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    t = dt.datetime(2024, 1, 1, 0, 0)
+    drain([("a", t, 10.0), ("a", t + dt.timedelta(hours=1), None),
+           ("b", t, 5.0)])
+    drain([("a", t + dt.timedelta(hours=2), None),      # filled from batch 1
+           ("a", t + dt.timedelta(hours=3), 20.0),
+           ("b", t + dt.timedelta(hours=5), None)])
+    got = {(r["source"], r["ts"].isoformat()): (r["n_tok"], r["filled"], r["gap_seconds"])
+           for r in spark.read.parquet(outp).collect()}
+    assert got[("a", "2024-01-01T00:00:00")] == (10.0, False, None)
+    assert got[("a", "2024-01-01T01:00:00")] == (10.0, True, 3600)
+    assert got[("a", "2024-01-01T02:00:00")] == (10.0, True, 3600)   # cross-batch
+    assert got[("a", "2024-01-01T03:00:00")] == (20.0, False, 3600)
+    assert got[("b", "2024-01-01T05:00:00")] == (5.0, True, 5 * 3600)
+    assert len(got) == 6
