@@ -685,6 +685,200 @@ def q_noleap_spine_days(spark, sf_dir):
     return sp.groupBy("source").agg(F.count(F.lit(1)).alias("n_days"))
 
 
+# ---- round-2 oracle batch: pytest-only SURVEY rows now driver-visible -------
+
+def q_clean_gpp_tokens(spark, sf_dir):
+    """P4 composite GPP cleaning (qc-fraction nullify -> NT/DT residual
+    quantile consistency -> Tukey IQR), full sequence mirrored step-for-step
+    in DuckDB. Series are integer-valued so sums are exact."""
+    from ingestr_spark.operators.clean import clean_gpp
+
+    t = _tok(spark, sf_dir).select(
+        "source",
+        F.col("n_tok").cast("double").alias("nt"),
+        (F.col("n_tok") + (F.col("id") % 21) - 10).cast("double").alias("dt"),
+        (((F.col("id") * 7) % 100) / 100.0).alias("ntq"),
+        (((F.col("id") * 13) % 100) / 100.0).alias("dtq"),
+    )
+    c = clean_gpp(t, nt_col="nt", dt_col="dt", nt_qc="ntq", dt_qc="dtq",
+                  threshold=0.8, freq="d", key_cols=["source"])
+    return c.groupBy("source").agg(
+        F.sum(F.when(F.col("nt").isNull(), 1).otherwise(0)).alias("n_nt_null"),
+        F.sum(F.when(F.col("dt").isNull(), 1).otherwise(0)).alias("n_dt_null"),
+        F.sum("nt").cast("long").alias("sum_nt"),
+        F.sum("dt").cast("long").alias("sum_dt"),
+    )
+
+
+def q_daytime_daily_events(spark, sf_dir):
+    """P10+A1: daytime filter (value > 0) then daily mean + QC good-fraction
+    per event_type (hh_to_daily shape over the events table)."""
+    from ingestr_spark.operators.met import hh_to_daily
+
+    apply_engine_conf(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "qcc", (F.col("event_id") % 4).cast("int")
+    )
+    out = hh_to_daily(ev, "value", how="mean", qc_col="qcc",
+                      key_cols=["event_type"], ts_col="ts", daytime_col="value")
+    return out.select(
+        "event_type", "date",
+        F.round("value", 6).alias("value_mean"),
+        F.round("value_qc", 6).alias("good_frac"),
+    )
+
+
+def q_anti_join_events(spark, sf_dir):
+    """P12 drop-failed-keys anti-join: users who ever errored are dropped."""
+    from ingestr_spark.operators.tsutil import drop_failed_keys
+
+    apply_engine_conf(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    failed = (
+        ev.filter("event_type = 'error'")
+        .groupBy("user_id").count().filter("count >= 12").select("user_id")
+    )
+    kept = drop_failed_keys(ev, failed, ["user_id"])
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value")
+    )
+
+
+def q_cross_pixel_events(spark, sf_dir):
+    """A7 cross-pixel spatial mean: focal-mask subset (user_id%10 as the
+    pixel) averaged per date."""
+    from ingestr_spark.operators.tsutil import cross_pixel_mean
+
+    apply_engine_conf(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "pix", (F.col("user_id") % 10).cast("int")
+    ).withColumn("date", F.to_date("ts"))
+    out = cross_pixel_mean(ev, "pix", [1, 3, 5], ["value"], "date")
+    return out.select("date", F.round("value", 6).alias("value"))
+
+
+def q_doy_clim_fill_1d(spark, sf_dir):
+    """A9/G10/G11 DOY-climatology residual fill: spine gaps filled with the
+    per-(source, day-of-year) mean of available daily sums (exact: integer
+    sums, one division)."""
+    from ingestr_spark.operators.gapfill import doy_climatology_fill, spine_join
+
+    tier = (
+        _tok(spark, sf_dir).filter("qc <= 1")
+        .groupBy("source", F.date_trunc("day", "ts").cast("date").alias("bucket"))
+        .agg(F.sum("n_tok").alias("sum_n_tok"), F.count(F.lit(1)).alias("n_seq"))
+    )
+    j = spine_join(tier)
+    out = doy_climatology_fill(j.select("source", "bucket", "sum_n_tok"), ["sum_n_tok"])
+    return out.select("source", "bucket", F.col("sum_n_tok").cast("double").alias("v"))
+
+
+def q_mean_scaling_tokens(spark, sf_dir):
+    """J5/A10 mean scaling: rescale each source's n_tok series so its mean
+    equals a per-source base (100.0) — integer-valued doubles, exact."""
+    from ingestr_spark.operators.met import mean_scaling
+
+    t = _tok(spark, sf_dir)
+    base = t.select("source").distinct().withColumn("target", F.lit(100.0))
+    d = t.select("doc_id", "source", F.col("n_tok").cast("double").alias("v"))
+    out = mean_scaling(d, "v", base, "target", ["source"])
+    return out.select("doc_id", "v")
+
+
+def q_completeness_tokens(spark, sf_dir):
+    """A12 completeness audit: per-source non-null counts + keep flag."""
+    from ingestr_spark.operators.tsutil import completeness_audit
+
+    t = _tok(spark, sf_dir).select(
+        "source",
+        F.when(F.col("qc") <= 1, F.col("n_tok")).alias("a"),
+        F.when(F.col("id") % 5 != 0, F.col("n_tok")).alias("b"),
+    )
+    return completeness_audit(t, ["a", "b"], ["source"], min_non_null=20)
+
+
+def q_patch_dec30_tier(spark, sf_dir):
+    """W5 Dec-30->31 end patch on the daily tier (the 3-year token span ends
+    2024-12-30, so the patch genuinely fires)."""
+    from ingestr_spark.sources.fluxnet import patch_dec30
+
+    tier = (
+        _tok(spark, sf_dir)
+        .groupBy("source", F.date_trunc("day", "ts").cast("date").alias("date"))
+        .agg(F.sum("n_tok").alias("sum_n_tok"))
+    )
+    out = patch_dec30(tier, key_cols=["source"])
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("date").alias("max_date"),
+        F.sum("sum_n_tok").alias("total"),
+    )
+
+
+def q_unpivot_tier_long(spark, sf_dir):
+    """R1 pivot_longer: daily-tier accumulators to long form, re-aggregated
+    per (source, name)."""
+    from ingestr_spark.operators.reshape import unpivot_longer
+
+    tier = (
+        _tok(spark, sf_dir)
+        .groupBy("source", F.date_trunc("day", "ts").cast("date").alias("bucket"))
+        .agg(F.sum("n_tok").alias("sum_n_tok"), F.count(F.lit(1)).alias("n_seq"))
+    )
+    long = unpivot_longer(tier, ["source", "bucket"], ["sum_n_tok", "n_seq"])
+    return long.groupBy("source", "name").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+    )
+
+
+def q_reconstruct_hourly_tier(spark, sf_dir):
+    """S5 hour-of-day reconstruction from a per-key row index; counts per
+    (source, hour-of-day) prove the rebuilt timestamps."""
+    from pyspark.sql import Window
+
+    from ingestr_spark.operators.tsutil import reconstruct_hourly_timestamps
+
+    tier = (
+        _tok(spark, sf_dir)
+        .groupBy("source", F.date_trunc("day", "ts").cast("date").alias("date"))
+        .agg(F.count(F.lit(1)).alias("n_seq"))
+    )
+    w = Window.partitionBy("source").orderBy("date")
+    idx = tier.withColumn("row_idx", F.row_number().over(w))
+    out = reconstruct_hourly_timestamps(idx, "date", "row_idx", per_day=24)
+    return out.groupBy("source", F.hour("ts").alias("hod")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_met_functions_tokens(spark, sf_dir):
+    """F1/F2/F3/F5 scalar met functions over pseudo-met columns derived from
+    the token table; formulas mirrored operand-for-operand in DuckDB and
+    rounded to 4 decimals (JVM vs libm transcendentals differ ~1 ulp)."""
+    from ingestr_spark.functions.calc import calc_patm, calc_tgrowth, calc_vp, calc_vpd
+
+    t = _tok(spark, sf_dir).select(
+        "doc_id", "id", "n_tok", "ts",
+        (F.col("id") % 3000).cast("double").alias("elv"),
+        (F.col("n_tok") % 40).cast("double").alias("tc"),
+        (F.lit(0.001) + (F.col("id") % 10) / 1000.0).alias("qair"),
+        ((F.col("id") % 120) - 60).cast("double").alias("lat"),
+        F.dayofyear("ts").cast("double").alias("doy"),
+    )
+    patm = calc_patm(F.col("elv"))
+    t = t.withColumn("patm", patm)
+    return t.select(
+        "doc_id",
+        F.round("patm", 4).alias("patm"),
+        F.round(calc_vp(F.col("qair"), patm=F.col("patm")), 4).alias("vp"),
+        F.round(calc_vpd(tc=F.col("tc"), qair=F.col("qair"), patm=F.col("patm")), 4).alias("vpd"),
+        F.round(
+            calc_tgrowth(F.col("tc") - 5.0, F.col("tc") + 5.0, F.col("lat"), F.col("doy")),
+            4,
+        ).alias("tgrowth"),
+    )
+
+
 # ---------------- driver contract -------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -744,6 +938,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top3_docs_per_source": q_top3_docs_per_source,
         "rollup_1w_cascade": q_rollup_1w_cascade,
         "noleap_spine_days": q_noleap_spine_days,
+        "clean_gpp_tokens": q_clean_gpp_tokens,
+        "daytime_daily_events": q_daytime_daily_events,
+        "anti_join_events": q_anti_join_events,
+        "cross_pixel_events": q_cross_pixel_events,
+        "doy_clim_fill_1d": q_doy_clim_fill_1d,
+        "mean_scaling_tokens": q_mean_scaling_tokens,
+        "completeness_tokens": q_completeness_tokens,
+        "patch_dec30_tier": q_patch_dec30_tier,
+        "unpivot_tier_long": q_unpivot_tier_long,
+        "reconstruct_hourly_tier": q_reconstruct_hourly_tier,
+        "met_functions_tokens": q_met_functions_tokens,
     }
 
 
@@ -799,4 +1004,15 @@ def oracle_sql() -> dict[str, str]:
         "top3_docs_per_source": oracles.TOP3_DOCS_PER_SOURCE,
         "rollup_1w_cascade": oracles.ROLLUP_1W,
         "noleap_spine_days": oracles.NOLEAP_SPINE_DAYS,
+        "clean_gpp_tokens": oracles.CLEAN_GPP_TOKENS,
+        "daytime_daily_events": oracles.DAYTIME_DAILY_EVENTS,
+        "anti_join_events": oracles.ANTI_JOIN_EVENTS,
+        "cross_pixel_events": oracles.CROSS_PIXEL_EVENTS,
+        "doy_clim_fill_1d": oracles.DOY_CLIM_FILL_1D,
+        "mean_scaling_tokens": oracles.MEAN_SCALING_TOKENS,
+        "completeness_tokens": oracles.COMPLETENESS_TOKENS,
+        "patch_dec30_tier": oracles.PATCH_DEC30_TIER,
+        "unpivot_tier_long": oracles.UNPIVOT_TIER_LONG,
+        "reconstruct_hourly_tier": oracles.RECONSTRUCT_HOURLY_TIER,
+        "met_functions_tokens": oracles.MET_FUNCTIONS_TOKENS,
     }

@@ -1171,3 +1171,207 @@ DOWNSCALE_PREC_GOLDEN = """SELECT 'hot' AS sitename, d AS date, p AS prec_micro 
   (DATE '2023-12-31', CAST(0 AS BIGINT))
 ) AS g(d, p)
 """
+
+
+# ---- round-2 oracle batch: previously pytest-only SURVEY rows ----------------
+
+# P4 composite GPP cleaning, step-for-step: qc-fraction nullify -> NT/DT
+# residual quantile consistency (same residual column for both series) ->
+# Tukey IQR per series, in the same order as clean.clean_gpp.
+CLEAN_GPP_TOKENS = f"""WITH {TOKENS_CTE},
+base AS (
+  SELECT source,
+         CAST(n_tok AS DOUBLE) AS nt,
+         CAST(n_tok + (id % 21) - 10 AS DOUBLE) AS dt,
+         ((id*7) % 100) / 100.0 AS ntq,
+         ((id*13) % 100) / 100.0 AS dtq
+  FROM tok
+),
+s1 AS (
+  SELECT source,
+         CASE WHEN ntq < 0.8 THEN NULL ELSE nt END AS nt,
+         CASE WHEN dtq < 0.8 THEN NULL ELSE dt END AS dt
+  FROM base
+),
+s2 AS (SELECT *, nt - dt AS res FROM s1),
+rq AS (SELECT source, quantile_cont(res, 0.025) AS rlo, quantile_cont(res, 0.975) AS rhi
+       FROM s2 GROUP BY 1),
+s3 AS (
+  SELECT s2.source,
+         CASE WHEN s2.res < rq.rlo OR s2.res > rq.rhi THEN NULL ELSE s2.nt END AS nt,
+         CASE WHEN s2.res < rq.rlo OR s2.res > rq.rhi THEN NULL ELSE s2.dt END AS dt
+  FROM s2 JOIN rq USING (source)
+),
+f1 AS (SELECT source, quantile_cont(nt, 0.25) AS q1, quantile_cont(nt, 0.75) AS q3
+       FROM s3 GROUP BY 1),
+s4 AS (
+  SELECT s3.source,
+         CASE WHEN s3.nt < f1.q1 - 1.5*(f1.q3 - f1.q1)
+                OR s3.nt > f1.q3 + 1.5*(f1.q3 - f1.q1) THEN NULL ELSE s3.nt END AS nt,
+         s3.dt
+  FROM s3 JOIN f1 USING (source)
+),
+f2 AS (SELECT source, quantile_cont(dt, 0.25) AS q1, quantile_cont(dt, 0.75) AS q3
+       FROM s4 GROUP BY 1),
+s5 AS (
+  SELECT s4.source, s4.nt,
+         CASE WHEN s4.dt < f2.q1 - 1.5*(f2.q3 - f2.q1)
+                OR s4.dt > f2.q3 + 1.5*(f2.q3 - f2.q1) THEN NULL ELSE s4.dt END AS dt
+  FROM s4 JOIN f2 USING (source)
+)
+SELECT source,
+  CAST(SUM(CASE WHEN nt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nt_null,
+  CAST(SUM(CASE WHEN dt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dt_null,
+  CAST(SUM(nt) AS BIGINT) AS sum_nt,
+  CAST(SUM(dt) AS BIGINT) AS sum_dt
+FROM s5 GROUP BY 1
+"""
+
+DAYTIME_DAILY_EVENTS = """
+WITH f AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS date, value,
+         CAST(event_id % 4 AS INT) AS qcc
+  FROM events WHERE value > 0
+)
+SELECT event_type, date,
+  round(AVG(value), 6) AS value_mean,
+  round(SUM(CASE WHEN qcc IN (0, 1) THEN 1 ELSE 0 END) / COUNT(*), 6) AS good_frac
+FROM f GROUP BY 1, 2
+"""
+
+ANTI_JOIN_EVENTS = """
+WITH failed AS (
+  SELECT user_id FROM events WHERE event_type = 'error'
+  GROUP BY 1 HAVING COUNT(*) >= 12
+)
+SELECT event_type, COUNT(*) AS n, round(SUM(value), 6) AS sum_value
+FROM events e ANTI JOIN failed f ON e.user_id = f.user_id
+GROUP BY 1
+"""
+
+CROSS_PIXEL_EVENTS = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS date, round(AVG(value), 6) AS value
+FROM events WHERE CAST(user_id % 10 AS INT) IN (1, 3, 5) GROUP BY 1
+"""
+
+DOY_CLIM_FILL_1D = f"""WITH {TOKENS_CTE},
+tier AS (
+  SELECT source, CAST(date_trunc('day', ts) AS DATE) AS bucket,
+         CAST(SUM(n_tok) AS BIGINT) AS sum_n_tok
+  FROM tok WHERE qc <= 1 GROUP BY 1, 2
+),
+bounds AS (SELECT source, MIN(bucket) AS lo, MAX(bucket) AS hi FROM tier GROUP BY 1),
+spine AS (
+  SELECT source, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS bucket
+  FROM bounds
+),
+j AS (
+  SELECT s.source, s.bucket, t.sum_n_tok
+  FROM spine s LEFT JOIN tier t USING (source, bucket)
+),
+clim AS (
+  SELECT source, dayofyear(bucket) AS doy, AVG(sum_n_tok) AS clim
+  FROM j GROUP BY 1, 2
+)
+SELECT j.source, j.bucket,
+       CAST(COALESCE(CAST(j.sum_n_tok AS DOUBLE), c.clim) AS DOUBLE) AS v
+FROM j JOIN clim c ON c.source = j.source AND c.doy = dayofyear(j.bucket)
+"""
+
+MEAN_SCALING_TOKENS = f"""WITH {TOKENS_CTE},
+m AS (SELECT source, AVG(CAST(n_tok AS DOUBLE)) AS mean FROM tok GROUP BY 1)
+SELECT t.doc_id_str AS doc_id, CAST(t.n_tok AS DOUBLE) * 100.0 / m.mean AS v
+FROM tok t JOIN m USING (source)
+"""
+
+COMPLETENESS_TOKENS = f"""WITH {TOKENS_CTE},
+b AS (
+  SELECT source,
+         CASE WHEN qc <= 1 THEN n_tok END AS a,
+         CASE WHEN id % 5 <> 0 THEN n_tok END AS b
+  FROM tok
+)
+SELECT source, COUNT(a) AS n_a, COUNT(b) AS n_b,
+       (COUNT(a) >= 20 AND COUNT(b) >= 20) AS keep
+FROM b GROUP BY 1
+"""
+
+PATCH_DEC30_TIER = f"""WITH {TOKENS_CTE},
+tier AS (
+  SELECT source, CAST(date_trunc('day', ts) AS DATE) AS date,
+         CAST(SUM(n_tok) AS BIGINT) AS sum_n_tok
+  FROM tok GROUP BY 1, 2
+),
+lastrow AS (
+  SELECT source, date, sum_n_tok FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY date DESC) AS rn FROM tier
+  ) WHERE rn = 1 AND month(date) = 12 AND day(date) = 30
+),
+patched AS (
+  SELECT source, date, sum_n_tok FROM tier
+  UNION ALL
+  SELECT source, CAST(date + INTERVAL 1 DAY AS DATE), sum_n_tok FROM lastrow
+)
+SELECT source, COUNT(*) AS n_rows, MAX(date) AS max_date,
+       CAST(SUM(sum_n_tok) AS BIGINT) AS total
+FROM patched GROUP BY 1
+"""
+
+UNPIVOT_TIER_LONG = f"""WITH {TOKENS_CTE},
+tier AS (
+  SELECT source, CAST(date_trunc('day', ts) AS DATE) AS bucket,
+         CAST(SUM(n_tok) AS BIGINT) AS sum_n_tok, COUNT(*) AS n_seq
+  FROM tok GROUP BY 1, 2
+),
+long AS (
+  SELECT source, bucket, 'sum_n_tok' AS name, sum_n_tok AS value FROM tier
+  UNION ALL
+  SELECT source, bucket, 'n_seq' AS name, n_seq AS value FROM tier
+)
+SELECT source, name, COUNT(*) AS n, CAST(SUM(value) AS BIGINT) AS total
+FROM long GROUP BY 1, 2
+"""
+
+RECONSTRUCT_HOURLY_TIER = f"""WITH {TOKENS_CTE},
+tier AS (
+  SELECT source, CAST(date_trunc('day', ts) AS DATE) AS date, COUNT(*) AS n_seq
+  FROM tok GROUP BY 1, 2
+),
+idx AS (
+  SELECT source, ROW_NUMBER() OVER (PARTITION BY source ORDER BY date) AS row_idx
+  FROM tier
+)
+SELECT source, CAST(row_idx % 24 AS INT) AS hod, COUNT(*) AS n
+FROM idx GROUP BY 1, 2
+"""
+
+# F1/F2/F3/F5 scalar functions: formulas mirrored with the SAME operand order
+# as functions/calc.py (constants computed as the same IEEE expressions);
+# rounded to 4 decimals since JVM vs libm transcendentals can differ ~1 ulp.
+MET_FUNCTIONS_TOKENS = f"""WITH {TOKENS_CTE},
+b AS (
+  SELECT doc_id_str AS doc_id,
+    CAST(id % 3000 AS DOUBLE) AS elv,
+    CAST(n_tok % 40 AS DOUBLE) AS tc,
+    0.001 + (id % 10) / 1000.0 AS qair,
+    CAST((id % 120) - 60 AS DOUBLE) AS lat,
+    CAST(dayofyear(ts) AS DOUBLE) AS doy
+  FROM tok
+),
+p AS (SELECT *, 101325.0 * pow(1.0 - 0.0065 * elv / 298.15,
+                               9.80665 * 0.028963 / (8.3145 * 0.0065)) AS patm FROM b),
+e AS (SELECT *, qair / (1.0 - qair) AS wair,
+             8.3143 / 18.02 AS rv, 8.3143 / 28.963 AS rd FROM p),
+v AS (SELECT *, patm * wair * rv / (rd + wair * rv) AS eact FROM e),
+w AS (SELECT *, 611.0 * exp(17.27 * tc / (tc + 237.3)) AS es FROM v),
+g AS (SELECT *, 23.45 * sin(6.283185307179586 * (284.0 + doy) / 365.0) AS decl FROM w),
+x1 AS (SELECT *, greatest(-1.0, least(1.0,
+          -tan(lat * 0.017453292519943295) * tan(decl * 0.017453292519943295))) AS x FROM g),
+f AS (SELECT *, sqrt(1.0 - x * x) / (2.0 * acos(x)) AS frac FROM x1)
+SELECT doc_id,
+  round(patm, 4) AS patm,
+  round(eact, 4) AS vp,
+  round(greatest(0.0, es - eact), 4) AS vpd,
+  round((tc + 5.0) * (0.5 + frac) + (tc - 5.0) * (0.5 - frac), 4) AS tgrowth
+FROM f
+"""
