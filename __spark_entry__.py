@@ -879,6 +879,73 @@ def q_met_functions_tokens(spark, sf_dir):
     )
 
 
+def q_scale_factor_dim(spark, sf_dir):
+    """P9/J6 dimension-table scale factors: broadcast-join a per-band factor
+    dim onto the daily tier, multiply, coalesce absent bands to 1.0."""
+    from ingestr_spark.operators.bitqc import apply_scale_factors_dim
+
+    tier = (
+        _tok(spark, sf_dir)
+        .groupBy("source", F.date_trunc("day", "ts").cast("date").alias("bucket"))
+        .agg(F.sum("n_tok").cast("double").alias("v"))
+        .withColumn("band", F.dayofweek("bucket").cast("int"))
+    )
+    factors = (
+        tier.select("band").distinct().filter("band <= 5")
+        .withColumn("scale_factor", F.lit(1.0) + F.col("band") / 10.0)
+    )
+    out = apply_scale_factors_dim(tier, "v", "band", factors)
+    return out.select("source", "bucket", "v")
+
+
+def q_union_with_id(spark, sf_dir):
+    """R3 bind_rows(.id=...): two derived frames unioned with a literal id
+    column, re-aggregated per (part, source)."""
+    from ingestr_spark.operators.reshape import union_with_id
+
+    t = _tok(spark, sf_dir)
+    good = t.filter("qc <= 1").select("source", "n_tok")
+    bad = t.filter("qc > 1").select("source", "n_tok")
+    u = union_with_id({"good": good, "bad": bad}, id_col="part")
+    return u.groupBy("part", "source").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_tok").alias("total")
+    )
+
+
+def q_expand_grid_months(spark, sf_dir):
+    """R5 expand.grid: years × months grid left-joined with per-cell token
+    counts (absent cells kept as 0)."""
+    from ingestr_spark.operators.reshape import expand_grid
+
+    grid = expand_grid(spark, (2022, 2024))
+    cells = _tok(spark, sf_dir).groupBy(
+        F.year("ts").alias("year"), F.month("ts").alias("moy")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return grid.join(cells, ["year", "moy"], "left").select(
+        "year", "moy", F.coalesce("n", F.lit(0)).alias("n")
+    )
+
+
+def q_nest_tokens(spark, sf_dir):
+    """R4 nest per key (sort_array(collect_list(struct))) probed through
+    order-sensitive scalars: list size, first bucket, last row's value —
+    deterministic because the struct sort is total on (bucket, v)."""
+    tier = (
+        _tok(spark, sf_dir)
+        .groupBy("source", F.date_trunc("day", "ts").cast("date").alias("bucket"))
+        .agg(F.sum("n_tok").alias("v"))
+    )
+    nested = tier.groupBy("source").agg(
+        F.sort_array(F.collect_list(F.struct("bucket", "v"))).alias("data")
+    )
+    return nested.select(
+        "source",
+        F.size("data").alias("n_days"),
+        F.element_at("data", 1)["bucket"].alias("first_bucket"),
+        F.element_at("data", -1)["v"].alias("last_v"),
+    )
+
+
 # ---------------- driver contract -------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -949,6 +1016,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_tier_long": q_unpivot_tier_long,
         "reconstruct_hourly_tier": q_reconstruct_hourly_tier,
         "met_functions_tokens": q_met_functions_tokens,
+        "scale_factor_dim": q_scale_factor_dim,
+        "union_with_id": q_union_with_id,
+        "expand_grid_months": q_expand_grid_months,
+        "nest_tokens": q_nest_tokens,
     }
 
 
@@ -1015,4 +1086,8 @@ def oracle_sql() -> dict[str, str]:
         "unpivot_tier_long": oracles.UNPIVOT_TIER_LONG,
         "reconstruct_hourly_tier": oracles.RECONSTRUCT_HOURLY_TIER,
         "met_functions_tokens": oracles.MET_FUNCTIONS_TOKENS,
+        "scale_factor_dim": oracles.SCALE_FACTOR_DIM,
+        "union_with_id": oracles.UNION_WITH_ID,
+        "expand_grid_months": oracles.EXPAND_GRID_MONTHS,
+        "nest_tokens": oracles.NEST_TOKENS,
     }

@@ -1375,3 +1375,57 @@ SELECT doc_id,
   round((tc + 5.0) * (0.5 + frac) + (tc - 5.0) * (0.5 - frac), 4) AS tgrowth
 FROM f
 """
+
+
+SCALE_FACTOR_DIM = f"""WITH {TOKENS_CTE},
+tier AS (
+  SELECT source, CAST(date_trunc('day', ts) AS DATE) AS bucket,
+         CAST(SUM(n_tok) AS DOUBLE) AS v
+  FROM tok GROUP BY 1, 2
+),
+banded AS (SELECT *, CAST(dayofweek(bucket) + 1 AS INT) AS band FROM tier),
+factors AS (
+  SELECT DISTINCT band, 1.0 + band / 10.0 AS scale_factor
+  FROM banded WHERE band <= 5
+)
+SELECT b.source, b.bucket, b.v * COALESCE(f.scale_factor, 1.0) AS v
+FROM banded b LEFT JOIN factors f USING (band)
+"""
+
+UNION_WITH_ID = f"""WITH {TOKENS_CTE},
+u AS (
+  SELECT 'good' AS part, source, n_tok FROM tok WHERE qc <= 1
+  UNION ALL
+  SELECT 'bad'  AS part, source, n_tok FROM tok WHERE qc > 1
+)
+SELECT part, source, COUNT(*) AS n, CAST(SUM(n_tok) AS BIGINT) AS total
+FROM u GROUP BY 1, 2
+"""
+
+EXPAND_GRID_MONTHS = f"""WITH {TOKENS_CTE},
+grid AS (
+  SELECT y.year, m.moy
+  FROM (SELECT unnest(range(2022, 2025)) AS year) y,
+       (SELECT unnest(range(1, 13)) AS moy) m
+),
+cells AS (
+  SELECT CAST(year(ts) AS INT) AS year, CAST(month(ts) AS INT) AS moy, COUNT(*) AS n
+  FROM tok GROUP BY 1, 2
+)
+SELECT CAST(g.year AS INT) AS year, CAST(g.moy AS INT) AS moy,
+       COALESCE(c.n, 0) AS n
+FROM grid g LEFT JOIN cells c ON c.year = g.year AND c.moy = g.moy
+"""
+
+NEST_TOKENS = f"""WITH {TOKENS_CTE},
+tier AS (
+  SELECT source, CAST(date_trunc('day', ts) AS DATE) AS bucket,
+         CAST(SUM(n_tok) AS BIGINT) AS v
+  FROM tok GROUP BY 1, 2
+)
+SELECT source,
+  CAST(COUNT(*) AS INT) AS n_days,
+  MIN(bucket) AS first_bucket,
+  arg_max(v, bucket) AS last_v
+FROM tier GROUP BY 1
+"""
