@@ -135,3 +135,24 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS fact_bucketed")
         spark.sql("DROP TABLE IF EXISTS dim_bucketed")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_dim_scale_and_mean_scaling_broadcast(spark, tok):
+    """The factor-dim join (P9/J6) and the per-key mean join-back (J5/A10)
+    must broadcast the tiny side."""
+    from ingestr_spark.operators.bitqc import apply_scale_factors_dim
+    from ingestr_spark.operators.met import mean_scaling
+
+    tier = tok.groupBy(
+        "source", F.date_trunc("day", "ts").cast("date").alias("bucket")
+    ).agg(F.sum("n_tok").cast("double").alias("v")).withColumn(
+        "band", F.dayofweek("bucket").cast("int")
+    )
+    factors = tier.select("band").distinct().withColumn(
+        "scale_factor", F.lit(1.5)
+    )
+    assert "BroadcastHashJoin" in _plan(apply_scale_factors_dim(tier, "v", "band", factors))
+
+    base = tok.select("source").distinct().withColumn("target", F.lit(100.0))
+    d = tok.select("doc_id", "source", F.col("n_tok").cast("double").alias("v"))
+    assert "BroadcastHashJoin" in _plan(mean_scaling(d, "v", base, "target", ["source"]))
