@@ -54,14 +54,23 @@ def iqr_outlier_nullify(
     var: str,
     key_cols: list[str] | None = None,
     coef: float = 1.5,
+    approx_accuracy: int | None = None,
 ) -> DataFrame:
-    """Tukey fence per key: exact q25/q75 via ``percentile``, broadcast the
-    tiny per-key fence table back, nullify outside rows."""
+    """Tukey fence per key: q25/q75 broadcast back, nullify outside rows.
+
+    Exact ``percentile`` by default (oracle-matchable, but a full per-key
+    sort at scale). ``approx_accuracy`` switches to ``percentile_approx``
+    (Greenwald-Khanna sketch, mergeable map-side — the 10^12-row path;
+    accuracy N bounds rank error at 1/N). Fences move by at most the sketch
+    error, so only boundary rows can classify differently."""
     key_cols = key_cols or ["source"]
-    fences = df.groupBy(*key_cols).agg(
-        F.expr(f"percentile({var}, 0.25)").alias("_q1"),
-        F.expr(f"percentile({var}, 0.75)").alias("_q3"),
-    )
+    if approx_accuracy is None:
+        q1 = F.expr(f"percentile({var}, 0.25)")
+        q3 = F.expr(f"percentile({var}, 0.75)")
+    else:
+        q1 = F.expr(f"percentile_approx({var}, 0.25, {approx_accuracy})")
+        q3 = F.expr(f"percentile_approx({var}, 0.75, {approx_accuracy})")
+    fences = df.groupBy(*key_cols).agg(q1.alias("_q1"), q3.alias("_q3"))
     out = df.join(F.broadcast(fences), on=key_cols, how="left")
     iqr = F.col("_q3") - F.col("_q1")
     lo, hi = F.col("_q1") - coef * iqr, F.col("_q3") + coef * iqr

@@ -168,3 +168,53 @@ def test_nearest_join_chunked_equals_unchunked(spark, tok):
     got = sorted(tuple(r) for r in nearest_join(
         left, tier, ["source"], "ts", "bucket", ["day_sum"], chunk_seconds=86400).collect())
     assert got == ref
+
+
+def test_asof_chunk_boundary_adversarial(spark):
+    """Rows placed EXACTLY at chunk boundaries (chunk_seconds=3600): a right
+    row at the boundary belongs to the new chunk but must still be visible
+    to later lefts via the seed of the following chunks; ties at the same
+    second remain inclusive."""
+    left = spark.createDataFrame(
+        [("a", dt.datetime(2021, 1, 1, h, m), i) for i, (h, m) in enumerate(
+            [(0, 0), (1, 0), (1, 30), (2, 0), (3, 0), (5, 59)])],
+        "k string, ts timestamp, x int",
+    )
+    right = spark.createDataFrame(
+        [("a", dt.datetime(2021, 1, 1, 0, 0), 1.0),    # exactly at chunk 0 start
+         ("a", dt.datetime(2021, 1, 1, 1, 0), 2.0),    # exactly at a boundary
+         ("a", dt.datetime(2021, 1, 1, 2, 0), 3.0)],   # boundary again
+        "k string, rts timestamp, v double",
+    )
+    ref = {r["x"]: r["v"] for r in asof_join(
+        left, right, ["k"], "ts", "rts", ["v"], chunk_seconds=None).collect()}
+    got = {r["x"]: r["v"] for r in asof_join(
+        left, right, ["k"], "ts", "rts", ["v"], chunk_seconds=3600).collect()}
+    assert got == ref == {0: 1.0, 1: 2.0, 2: 2.0, 3: 3.0, 4: 3.0, 5: 3.0}
+
+
+def test_asof_randomized_chunk_equivalence(spark):
+    """Seeded random series: chunked==unchunked for several chunk sizes,
+    including sizes that land rows exactly on boundaries."""
+    import random
+
+    rng = random.Random(99)
+    base = dt.datetime(2021, 1, 1)
+    left = spark.createDataFrame(
+        [(f"k{rng.randrange(3)}",
+          base + dt.timedelta(seconds=rng.randrange(0, 500000, 100)), i)
+         for i in range(300)],
+        "k string, ts timestamp, x int",
+    )
+    right = spark.createDataFrame(
+        [(f"k{rng.randrange(3)}",
+          base + dt.timedelta(seconds=rng.randrange(0, 500000, 100)), float(i))
+         for i in range(80)],
+        "k string, rts timestamp, v double",
+    )
+    ref = sorted(tuple(r) for r in asof_join(
+        left, right, ["k"], "ts", "rts", ["v"], chunk_seconds=None).collect())
+    for cs in (100, 3600, 86400, 10**9):
+        got = sorted(tuple(r) for r in asof_join(
+            left, right, ["k"], "ts", "rts", ["v"], chunk_seconds=cs).collect())
+        assert got == ref, cs

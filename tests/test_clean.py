@@ -93,3 +93,17 @@ def test_clean_energy(spark):
     assert out.filter("le = 5.0").count() == 0   # repeated >3 removed
     assert out.filter("le = 9.0").count() == 0   # bad qc removed
     assert out.filter("le = 7.0").count() == 1
+
+
+def test_iqr_approx_path_close_to_exact(spark, tok):
+    """percentile_approx (the 10^12-row sketch path) nullifies nearly the
+    same rows as the exact path; at high accuracy on the fixture the
+    difference is only possible at fence-boundary rows."""
+    from ingestr_spark.operators.clean import iqr_outlier_nullify
+
+    d = tok.select("source", F.col("n_tok").cast("double").alias("v"))
+    exact = iqr_outlier_nullify(d, "v", ["source"])
+    approx = iqr_outlier_nullify(d, "v", ["source"], approx_accuracy=10000)
+    n_exact = exact.filter("v IS NULL").count()
+    n_approx = approx.filter("v IS NULL").count()
+    assert abs(n_exact - n_approx) <= max(2, n_exact // 50)
