@@ -211,3 +211,34 @@ def test_resize_and_frame_plan(spark):
     one = media.filter("media_id = 'm-000000005'").collect()[0]
     n_frames = plan.filter("media_id = 'm-000000005'").count()
     assert n_frames == (one["duration_ms"] + 999) // 1000
+
+
+def test_ivf_topk_recall_and_determinism(spark, sf_dir):
+    """IVF ANN: deterministic (no RNG — same result across partitionings)
+    and reasonable recall vs brute force at nprobe=4/16 cells."""
+    from ingestr_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
+    bf = brute_force_topk(emb, q, k=3)
+    ivf = ivf_topk(emb, q, k=3, n_centroids=16, nprobe=4)
+    bf_set = {(r["query_id"], r["vec_id"]) for r in bf.collect()}
+    ivf_set = {(r["query_id"], r["vec_id"]) for r in ivf.collect()}
+    assert len(ivf_set & bf_set) / len(bf_set) >= 0.4
+    # determinism across partitionings
+    again = ivf_topk(emb.repartition(13), q, k=3, n_centroids=16, nprobe=4)
+    assert {(r["query_id"], r["vec_id"], r["rank"]) for r in again.collect()} == {
+        (r["query_id"], r["vec_id"], r["rank"]) for r in ivf.collect()
+    }
+
+
+def test_ivf_build_cells_cover_corpus(spark, sf_dir):
+    from ingestr_spark.operators.similarity import ivf_build
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned, centroids = ivf_build(emb, n_centroids=8, iters=2)
+    assert len(centroids) == 8
+    assert assigned.count() == emb.count()
+    assert assigned.filter("cell < 0 OR cell > 7").count() == 0
+    # cells partition the corpus into multiple non-empty groups
+    assert assigned.select("cell").distinct().count() >= 2
