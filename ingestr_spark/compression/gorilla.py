@@ -50,6 +50,20 @@ class _BitWriter:
             self.buf.append((self.acc >> self.nbits) & 0xFF)
         self.acc &= (1 << self.nbits) - 1
 
+    def write_zeros(self, bits: int) -> None:
+        """Append ``bits`` zero bits — byte-aligned bulk fill (one buffer
+        extend) instead of per-bit big-int shifting."""
+        head = (8 - self.nbits) % 8
+        if head:
+            head = min(head, bits)
+            self.write(0, head)
+            bits -= head
+        nbytes, rem = divmod(bits, 8)
+        if nbytes:
+            self.buf.extend(b"\x00" * nbytes)
+        if rem:
+            self.write(0, rem)
+
     def getvalue(self) -> bytes:
         if self.nbits:
             return bytes(self.buf) + bytes([(self.acc << (8 - self.nbits)) & 0xFF])
@@ -96,13 +110,20 @@ def encode_timestamps(ts: np.ndarray) -> bytes:
     deltas = np.diff(ts)
     w.write(int(deltas[0]) & ((1 << 64) - 1), 64)
     dods = np.diff(deltas)
-    for dod in dods.tolist():
+    # Regular cadence dominates real series: every dod==0 is a single '0'
+    # bit, so a run of z zeros is ONE write(0, z) call — identical
+    # bitstream, O(nonzero dods) Python work instead of O(points).
+    nz = np.flatnonzero(dods)
+    prev_end = 0
+    for i in nz.tolist():
+        if i > prev_end:
+            w.write_zeros(i - prev_end)
+        prev_end = i + 1
+        dod = int(dods[i])
         # zigzag-symmetric ranges: zigzag(dod) must fit the field width
         # (zigzag(63)=126, zigzag(-64)=127 fit 7 bits; zigzag(64)=128 does
         # not — the paper's asymmetric ranges assume offset, not zigzag)
-        if dod == 0:
-            w.write(0, 1)
-        elif -64 <= dod <= 63:
+        if -64 <= dod <= 63:
             w.write(0b10, 2)
             w.write(_zigzag(dod), 7)
         elif -256 <= dod <= 255:
@@ -114,6 +135,8 @@ def encode_timestamps(ts: np.ndarray) -> bytes:
         else:
             w.write(0b1111, 4)
             w.write(_zigzag(dod), 64)
+    if len(dods) > prev_end:
+        w.write_zeros(len(dods) - prev_end)
     return w.getvalue()
 
 
@@ -159,25 +182,31 @@ def encode_values(vals: np.ndarray) -> bytes:
     w.write(int(bits[0]), 64)
     prev = int(bits[0])
     prev_lead, prev_len = 65, 0  # 65 = "no previous window"
-    xors = np.bitwise_xor(bits[1:], bits[:-1]) if n > 1 else []
-    for x in (int(v) for v in xors):
-        if x == 0:
-            w.write(0, 1)
+    xors = np.bitwise_xor(bits[1:], bits[:-1]) if n > 1 else np.empty(0, np.uint64)
+    # constant stretches (XOR == 0) are single '0' bits: emit runs in bulk
+    nz = np.flatnonzero(xors)
+    prev_end = 0
+    for i in nz.tolist():
+        if i > prev_end:
+            w.write_zeros(i - prev_end)
+        prev_end = i + 1
+        x = int(xors[i])
+        lead = 64 - x.bit_length()
+        trail = (x & -x).bit_length() - 1
+        if lead > 31:  # 5-bit leading field cap (paper format)
+            lead = 31
+        if prev_lead <= 64 and lead >= prev_lead and trail >= (64 - prev_lead - prev_len):
+            w.write(0b10, 2)
+            w.write(x >> (64 - prev_lead - prev_len), prev_len)
         else:
-            lead = 64 - x.bit_length()
-            trail = (x & -x).bit_length() - 1
-            if lead > 31:  # 5-bit leading field cap (paper format)
-                lead = 31
-            if prev_lead <= 64 and lead >= prev_lead and trail >= (64 - prev_lead - prev_len):
-                w.write(0b10, 2)
-                w.write(x >> (64 - prev_lead - prev_len), prev_len)
-            else:
-                mlen = 64 - lead - trail
-                w.write(0b11, 2)
-                w.write(lead, 5)
-                w.write(mlen & 0x3F, 6)  # 64 encodes as 0 (paper trick)
-                w.write(x >> trail, mlen)
-                prev_lead, prev_len = lead, mlen
+            mlen = 64 - lead - trail
+            w.write(0b11, 2)
+            w.write(lead, 5)
+            w.write(mlen & 0x3F, 6)  # 64 encodes as 0 (paper trick)
+            w.write(x >> trail, mlen)
+            prev_lead, prev_len = lead, mlen
+    if len(xors) > prev_end:
+        w.write_zeros(len(xors) - prev_end)
     return w.getvalue()
 
 
