@@ -317,6 +317,19 @@ def q_embedding_neardup(spark, sf_dir):
     return embedding_near_dup(emb, threshold=0.4)
 
 
+def q_dedup_cluster_reps(spark, sf_dir):
+    """Connected-component dedup: cluster MinHash-LSH near-dup pairs and
+    elect min-id representatives via min-label propagation; DuckDB checks
+    with an exact recursive-CTE transitive closure."""
+    from ingestr_spark.datagen import neardup_tokens
+    from ingestr_spark.operators.dedup import cluster_representatives, minhash_similarity
+
+    apply_engine_conf(spark)
+    nd = neardup_tokens(spark, sf_dir)
+    pairs = minhash_similarity(nd, "id", k=8, bands=4, threshold=0.5)
+    return cluster_representatives(nd.select("id"), pairs)
+
+
 def q_embedding_neardup_lsh(spark, sf_dir):
     """Sub-quadratic near-dup: sign-sketch LSH banding + exact rescore over
     the derived planted-near-dup embedding table. The oracle is the exact
@@ -981,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fp": q_simhash_fp,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "dedup_cluster_reps": q_dedup_cluster_reps,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "text_stats": q_text_stats,
@@ -1051,6 +1065,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_fp": oracles.SIMHASH_FP,
         "embedding_neardup": oracles.EMBEDDING_NEARDUP,
         "embedding_neardup_lsh": oracles.EMBEDDING_NEARDUP_LSH,
+        "dedup_cluster_reps": oracles.DEDUP_CLUSTER_REPS,
         "ann_topk": oracles.ANN_TOPK,
         "ann_topk_lsh": oracles.ANN_TOPK_LSH,
         "text_stats": oracles.TEXT_STATS,

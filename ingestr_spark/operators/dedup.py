@@ -323,6 +323,58 @@ def embedding_near_dup(
     return out.filter(F.col("cosine") >= threshold)
 
 
+def cluster_representatives(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """The dedup step AFTER pair finding: collapse near-dup pairs into
+    connected components and elect the MIN id of each component as its
+    representative (keep rep, drop the rest).
+
+    Min-label propagation: every node starts as its own rep; each round a
+    node adopts the smallest rep among itself and its neighbors. Converges
+    in O(component diameter) rounds — near-dup clusters are shallow, and
+    convergence is detected via the monotonically decreasing rep-sum (one
+    scalar per round, no row-wise diff). Each round is one join + one
+    aggregate, the standard large-scale connected-components shape
+    (Pregel-style); lineage is cut per round with localCheckpoint so the
+    plan stays flat. Returns (id, rep)."""
+    labels = ids.select(F.col(id_col).alias("id")).distinct().withColumn(
+        "rep", F.col("id")
+    )
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("rep")).collect()[0][0]
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("rep").alias("_nrep"))
+            .withColumnRenamed("src", "id")
+        )
+        labels = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("rep"), F.coalesce("_nrep", "rep")).alias("rep"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("rep")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
 def embedding_near_dup_lsh(
     df: DataFrame,
     id_col: str = "id",

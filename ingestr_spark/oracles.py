@@ -2164,3 +2164,34 @@ SELECT source,
   arg_max(v, bucket) AS last_v
 FROM tier GROUP BY 1
 """
+
+
+# Connected-component dedup: cluster near-dup pairs and elect the min id as
+# the representative. The oracle computes EXACT transitive closure with a
+# recursive CTE (fine at sf0.01; the engine runs O(diameter) rounds of
+# min-label propagation). Pairs = the same MinHash-LSH pairs as
+# MINHASH_PAIRS (est_jaccard >= 0.5).
+_MH_MATCHES = " + ".join(
+    f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(8)
+)
+
+DEDUP_CLUSTER_REPS = f"""WITH RECURSIVE {NEARDUP_CTE}, {_SH}, {_SIG},
+cand AS ({_BANDS}),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN sig a ON a.id = c.id_a JOIN sig b ON b.id = c.id_b
+  WHERE (({_MH_MATCHES}) / 8.0) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+ids AS (SELECT DISTINCT id FROM tokd),
+reach AS (
+  SELECT id, id AS r FROM ids
+  UNION
+  SELECT e.dst AS id, rc.r FROM reach rc JOIN edges e ON e.src = rc.id
+)
+SELECT id, MIN(r) AS rep FROM reach GROUP BY id
+"""

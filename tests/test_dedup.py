@@ -242,3 +242,31 @@ def test_ivf_build_cells_cover_corpus(spark, sf_dir):
     assert assigned.filter("cell < 0 OR cell > 7").count() == 0
     # cells partition the corpus into multiple non-empty groups
     assert assigned.select("cell").distinct().count() >= 2
+
+
+def test_cluster_representatives_chain_topology(spark):
+    """A long chain a-b-c-...-j must collapse to ONE component with rep =
+    min id (propagation across the full diameter), plus an isolated node."""
+    from ingestr_spark.operators.dedup import cluster_representatives
+
+    ids = spark.createDataFrame([(i,) for i in range(11)], "id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    reps = {r["id"]: r["rep"] for r in cluster_representatives(ids, pairs).collect()}
+    assert all(reps[i] == 0 for i in range(10))
+    assert reps[10] == 10  # isolated
+
+
+def test_cluster_representatives_fixture_groups(spark, sf_dir):
+    """On the near-dup fixture (100 groups of 5), reps = group bases and
+    every group member maps to its base."""
+    from ingestr_spark.operators.dedup import cluster_representatives, minhash_similarity
+
+    nd = neardup_tokens(spark, sf_dir)
+    pairs = minhash_similarity(nd, "id", k=8, bands=4, threshold=0.5)
+    reps = cluster_representatives(nd.select("id"), pairs)
+    distinct_reps = reps.select("rep").distinct().count()
+    assert distinct_reps == 100
+    bad = reps.filter("rep != id - id % 5").count()
+    assert bad == 0
