@@ -153,7 +153,21 @@ def decode_timestamps(blob: bytes) -> np.ndarray:
     d = r.read(64)
     delta = d - (1 << 64) if d >= (1 << 63) else d
     out[1] = out[0] + delta
-    for i in range(2, n):
+    i = 2
+    while i < n:
+        # fast path mirroring the encoder's zero-run bulk writes: at a
+        # control-bit position, a 0x00 byte is exactly eight '0' controls
+        # (eight dod=0 points) — consume them without per-bit reads
+        if (
+            r.pos & 7 == 0
+            and i + 8 <= n
+            and r.data[r.pos >> 3] == 0
+        ):
+            for _ in range(8):
+                out[i] = out[i - 1] + delta
+                i += 1
+            r.pos += 8
+            continue
         if r.read(1) == 0:
             dod = 0
         elif r.read(1) == 0:
@@ -166,6 +180,7 @@ def decode_timestamps(blob: bytes) -> np.ndarray:
             dod = _unzigzag(r.read(64))
         delta += dod
         out[i] = out[i - 1] + delta
+        i += 1
     return out
 
 
@@ -219,9 +234,17 @@ def decode_values(blob: bytes) -> np.ndarray:
     cur = r.read(64)
     out[0] = cur
     lead, mlen = 0, 0
-    for i in range(1, n):
+    i = 1
+    while i < n:
+        # zero-byte fast path: eight '0' controls = eight repeated values
+        if r.pos & 7 == 0 and i + 8 <= n and r.data[r.pos >> 3] == 0:
+            out[i:i + 8] = cur
+            i += 8
+            r.pos += 8
+            continue
         if r.read(1) == 0:
             out[i] = cur
+            i += 1
             continue
         if r.read(1) == 1:
             lead = r.read(5)
@@ -232,6 +255,7 @@ def decode_values(blob: bytes) -> np.ndarray:
         x = r.read(mlen) << trail
         cur ^= x
         out[i] = cur
+        i += 1
     return out.view(np.float64)
 
 
