@@ -209,3 +209,43 @@ def test_stateful_locf_stream_carries_state_across_batches(spark, tmp_path):
     assert got[("a", "2024-01-01T03:00:00")] == (20.0, False, 3600)
     assert got[("b", "2024-01-01T05:00:00")] == (5.0, True, 5 * 3600)
     assert len(got) == 6
+
+
+def test_windowed_stream_drops_late_rows_past_watermark(spark, tmp_path):
+    """Event-time correctness: once the watermark (2 h) has passed a window's
+    end, a late row for that window is DROPPED, and finalized windows emit
+    exactly once in append mode."""
+    import datetime as dt
+
+    from ingestr_spark.streaming.jobs import windowed_counts_stream
+
+    inp = str(tmp_path / "win_in")
+    ckpt = str(tmp_path / "win_ckpt")
+    outp = str(tmp_path / "win_out")
+    schema = "source string, ts timestamp, n_tok int"
+
+    def drain(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(inp)
+        stream = spark.readStream.schema(spark.read.parquet(inp).schema).parquet(inp)
+        q = (
+            windowed_counts_stream(stream, window="1 hour", watermark="2 hours")
+            .writeStream.format("parquet").outputMode("append")
+            .option("path", outp).option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    t = dt.datetime(2024, 1, 1)
+    # batch 1: window 10:00 gets 2 rows; max event time 13:00 -> wm 11:00
+    drain([("a", t + dt.timedelta(hours=10, minutes=15), 1),
+           ("a", t + dt.timedelta(hours=10, minutes=45), 2),
+           ("a", t + dt.timedelta(hours=13), 3)])
+    # batch 2: 10:30 is LATE (window end 11:00 <= wm 11:00 -> dropped);
+    # 20:00 pushes wm to 18:00, finalizing the 10:00 and 13:00 windows
+    drain([("a", t + dt.timedelta(hours=10, minutes=30), 99),
+           ("a", t + dt.timedelta(hours=20), 4)])
+    got = {r["bucket"].isoformat(): (r["n_seq"], r["sum_n_tok"])
+           for r in spark.read.parquet(outp).collect()}
+    assert got["2024-01-01T10:00:00"] == (2, 3)   # late row NOT counted
+    assert got["2024-01-01T13:00:00"] == (1, 3)
+    assert "2024-01-01T20:00:00" not in got       # not yet finalized
