@@ -106,25 +106,26 @@ def stateful_locf_stream(
                  "gap_seconds": pd.Series([], dtype="int64")})
             return
         pdf = pd.concat(frames).sort_values(ts_col)
-        vals, filled, gaps = [], [], []
-        for _, row in pdf.iterrows():
-            v = row[value_col]
-            t = int(pd.Timestamp(row[ts_col]).value // 1_000_000_000)
-            if pd.isna(v):
-                vals.append(last_v)
-                filled.append(True)
-            else:
-                vals.append(float(v))
-                filled.append(False)
-                last_v = float(v)
-            gaps.append(t - last_ts if last_ts is not None else None)
-            last_ts = t
-        state.update((last_v, last_ts))
+        v = pdf[value_col].astype("float64")
+        filled = v.isna()
+        # vectorized LOCF with the carried state prepended as a sentinel
+        carried = pd.concat(
+            [pd.Series([last_v], dtype="float64"), v], ignore_index=True
+        ).ffill()
+        vals = carried.iloc[1:].reset_index(drop=True)
+        t = (pd.to_datetime(pdf[ts_col]).astype("int64") // 1_000_000_000)
+        t = t.reset_index(drop=True)
+        prev_t = t.shift(1)
+        if last_ts is not None:
+            prev_t.iloc[0] = last_ts
+        gaps = (t - prev_t).astype("Int64")
+        new_last_v = v.dropna().iloc[-1] if v.notna().any() else last_v
+        state.update((None if pd.isna(new_last_v) else float(new_last_v),
+                      int(t.iloc[-1])))
         yield pd.DataFrame({
-            key: pdf[key].iloc[0], ts_col: pdf[ts_col],
-            value_col: pd.array(vals, dtype="float64"),
-            "filled": filled,
-            "gap_seconds": pd.array(gaps, dtype="Int64"),
+            key: pdf[key].iloc[0], ts_col: pdf[ts_col].reset_index(drop=True),
+            value_col: vals, "filled": filled.reset_index(drop=True),
+            "gap_seconds": gaps,
         })
 
     return raw_stream.groupBy(key).applyInPandasWithState(
