@@ -44,9 +44,10 @@ BENCH_TABLE = f"/tmp/ingestr_bench_tokens_{SYNTH_ROWS}"
 # this sandbox is a VM on a shared host: wall-clock per run swings 2-4x with
 # host load; min over several runs approximates the uncontended figure
 PROBE_RUNS = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "8"))
-# in-JVM timed runs per probe subprocess (min is reported): 5 runs damp
-# shared-host noise better than 3 at ~8 s/run worst case
-PROBE_INJVM = int(os.environ.get("SPARK_GRAFT_PROBE_INJVM", "5"))
+# in-JVM timed runs per probe subprocess (min is reported). The full-job
+# probe costs up to ~90 s/run at local[1], so 2 runs per probe; per-level
+# minima and round samples accumulate across invocations instead.
+PROBE_INJVM = int(os.environ.get("SPARK_GRAFT_PROBE_INJVM", "2"))
 
 HEADLINE = [
     "rollup_1d",
@@ -66,7 +67,10 @@ def run_headline(spark) -> dict[str, float]:
     out: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
-        qs[name](spark, SF_DIR).count()
+        # collect(), not count(): a bare count on an aggregate lets Catalyst
+        # prune every non-grouping aggregate expression (same pruned-plan
+        # trap as the v1 scaling probe) — collect forces the full result
+        qs[name](spark, SF_DIR).collect()
         out[name] = round(time.time() - t0, 3)
     return out
 
@@ -86,8 +90,15 @@ def ensure_bench_table(spark) -> None:
 
 
 def _probe_child(cores: int, runs: int = PROBE_INJVM) -> None:
-    """Child-process mode: time the scan→cascade job at local[cores]
-    (first run is JVM/codegen warm-up; best of the rest is reported)."""
+    """Child-process mode: time the FULL scan→cascade job at local[cores].
+
+    The final action consumes EVERY tier accumulator — a bare ``count()``
+    on the aggregate lets Catalyst prune the token-statistic aggregates
+    (only group keys survive), which measured ~25x lighter than the real
+    cascade. Rounds 1 and early 2 timed that pruned plan; the cache was
+    reset when this was found (BENCH/scaling_best_v2.json)."""
+    from pyspark.sql import functions as F
+
     from ingestr_spark.operators.rollup import build_all_tiers
     from ingestr_spark.session import get_spark
 
@@ -106,7 +117,12 @@ def _probe_child(cores: int, runs: int = PROBE_INJVM) -> None:
     for _ in range(runs):
         t0 = time.time()
         df = spark.read.parquet(BENCH_TABLE)
-        build_all_tiers(df, ("1h", "1d", "1mo"))["1mo"].count()
+        mo = build_all_tiers(df, ("1h", "1d", "1mo"))["1mo"]
+        mo.agg(F.sum(
+            F.col("n_seq") + F.col("sum_n_tok") + F.col("tok_sum")
+            + F.col("tok_min") + F.col("tok_max") + F.col("min_n_tok")
+            + F.col("max_n_tok") + F.col("qc_ok_cnt")
+        )).collect()
         best = min(best, time.time() - t0)
     spark.stop()
     print(f"PROBE_RESULT {best:.4f}")
@@ -144,7 +160,7 @@ def run_scaling() -> dict:
     number) and the best round are reported."""
     import statistics
 
-    rounds = max(3, PROBE_RUNS // 3)
+    rounds = max(1, PROBE_RUNS // 6)  # full-job rounds are ~6 min each
     levels = (1, 2, 4, 8, 32)
     best: dict[int, float] = {c: float("inf") for c in levels}
     eff_1_4: list[float] = []
@@ -158,15 +174,18 @@ def run_scaling() -> dict:
         eff_2_8.append((t[2] / t[8]) / 4)
     # rolling cache across bench invocations: best wall times approximate the
     # uncontended box; round efficiencies accumulate UNSORTED and UNTRIMMED
-    # (round 1 kept only the top-10, which upward-biased any median)
-    cache = f"{REPO}/BENCH/scaling_best.json"
+    # (round 1 kept only the top-10, which upward-biased any median).
+    # v2: the v1 cache timed the count-PRUNED cascade (Catalyst dropped the
+    # token-stat aggregates under a bare count(), ~25x lighter than the real
+    # job) — v1 numbers are not comparable and were retired with the file.
+    cache = f"{REPO}/BENCH/scaling_best_v2.json"
     try:
         with open(cache) as f:
             prior = json.load(f)
         for c in best:
             best[c] = min(best[c], prior.get(str(c), float("inf")))
         eff_1_4 = prior.get("round_eff_1_4", []) + eff_1_4
-        eff_2_8 = prior.get("round_eff", []) + prior.get("round_eff_2_8", []) + eff_2_8
+        eff_2_8 = prior.get("round_eff_2_8", []) + eff_2_8
     except (OSError, ValueError):
         pass
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
@@ -218,8 +237,18 @@ def write_bench_md(scaling: dict, queries: dict[str, float]) -> None:
         "## Scaling evidence (north rule: efficiency >= 0.8 from N to 4N executors)",
         "",
         f"Identical job — parquet scan of a deterministic {scaling['synth_rows']:,}-sequence",
-        "token table → raw→1h→1d→1mo continuous-aggregate cascade — at two",
-        f"parallelism levels ({scaling['protocol']}):",
+        "token table → raw→1h→1d→1mo continuous-aggregate cascade computing the",
+        "FULL accumulator set (n_seq, sum/min/max n_tok, token-array sum/min/max",
+        "via JVM higher-order functions, qc counts) — at five parallelism",
+        f"levels ({scaling['protocol']}):",
+        "",
+        "HONESTY NOTE vs earlier rounds: numbers before this protocol (v1,",
+        "incl. BENCH_r01's 24.2 Mseq/s peak) timed the cascade under a bare",
+        "count(), which lets Catalyst PRUNE the token-statistic aggregates —",
+        "a ~25x lighter plan than the real job. The v2 probe consumes every",
+        "accumulator, so throughputs dropped accordingly and the v1 scaling",
+        "cache was retired; the full job is compute-dominated, which is also",
+        "why its thread-scaling is cleaner than v1's scan-bound numbers.",
         "",
         "| parallelism | wall (s) | throughput (Mseq/s) | per-thread (Mseq/s) |",
         "|---|---|---|---|",
