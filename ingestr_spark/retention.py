@@ -94,21 +94,24 @@ class AggregateStore:
             else rollup_cascade(source_df, tier)
         )
         agg = agg.withColumn("p_month", F.date_format("bucket", "yyyy-MM"))
-        # The aggregate feeds THREE consumers (todo discovery, the partition
-        # write, the manifest stats) — persist it so the expensive source
-        # aggregation runs exactly once per tier build, not once per
-        # consumer. Tier rows are bounded by keys × calendar buckets, so the
-        # cache is small relative to the source at any scale.
+        # Todo discovery runs on the UNPERSISTED aggregate: Catalyst prunes
+        # every non-grouping aggregate expression under select(p_month), so
+        # this pass scans only the grouping columns (ts + key) — a resume
+        # with nothing to do costs one slim scan, never the full token-stat
+        # aggregation (persisting first would materialize ALL columns here).
+        done = self.completed_months(tier)
+        todo = {
+            r["p_month"]
+            for r in agg.select("p_month").distinct().collect()
+        } - done
+        if not todo:
+            return 0
+        # The full aggregate feeds TWO consumers (the partition write and
+        # the manifest stats) — persist it so the expensive aggregation runs
+        # once, not per consumer. Tier rows are bounded by keys × calendar
+        # buckets, so the cache is small relative to the source at any scale.
         agg = agg.persist()
         try:
-            done = self.completed_months(tier)
-            todo = {
-                r["p_month"]
-                for r in agg.select("p_month").distinct().collect()
-            } - done
-            if not todo:
-                return 0
-
             pending = agg.filter(F.col("p_month").isin(list(todo)))
             # explicit repartition on the write-partition key: one shuffle,
             # each output partition written by few tasks (no small-file storm)

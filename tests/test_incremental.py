@@ -149,10 +149,18 @@ def test_incremental_replay_after_crash_mid_swap(spark, split_data, tmp_path, mo
     assert _rows(store.read_tier("1h")) == want
 
 
-def test_build_tier_single_source_scan(spark, tmp_path):
-    """The tier aggregate feeds todo-discovery, the write, and the manifest
-    stats; with the persist fix the SOURCE is scanned exactly once per
-    build (counted with an accumulator inside a mapInPandas passthrough)."""
+def test_build_tier_scan_budget_and_cheap_resume(spark, tmp_path):
+    """Source-scan budget per build (counted with an accumulator inside a
+    mapInPandas passthrough — which also blocks column pruning, so every
+    pass counts as a full scan here):
+
+    * fresh build = 2 passes: one slim todo-discovery pass (column-pruned to
+      the grouping columns on real parquet) + ONE full aggregation shared by
+      the write and the manifest stats (round 1 ran the full aggregation
+      three times);
+    * no-op resume = 1 slim discovery pass ONLY — resuming a completed tier
+      must never pay the token-statistics aggregation (a persist-first
+      version did, costing the full cascade per no-op resume)."""
     import pandas as pd
 
     n = 1500
@@ -167,7 +175,9 @@ def test_build_tier_single_source_scan(spark, tmp_path):
     spied = raw.mapInPandas(counting, raw.schema)
     store = AggregateStore(spark, str(tmp_path / "scan1"))
     store.build_tier("1d", spied)
-    assert acc.value == n  # one scan, not one per consumer
+    assert acc.value == 2 * n  # discovery + one shared full aggregation
+    assert store.build_tier("1d", spied) == 0  # resume: nothing to do
+    assert acc.value == 3 * n  # discovery pass only — no full re-aggregation
 
 
 def test_stateful_locf_stream_carries_state_across_batches(spark, tmp_path):
