@@ -537,6 +537,26 @@ def q_downscale_prec_golden(spark, sf_dir):
     )
 
 
+def q_codec_roundtrip_1d(spark, sf_dir):
+    """Rule-mandated compression, driver-visible: pack the daily tier's
+    sum_n_tok series into delta-of-delta + Gorilla binary chunks per
+    (source, year), decode them back, and match the PLAIN tier SQL — the
+    oracle never sees the codec, so any bit drift in encode/decode/chunking
+    breaks the hash."""
+    from ingestr_spark.compression.gorilla import compress_tier, decompress_tier
+
+    tier = (
+        _tok(spark, sf_dir)
+        .groupBy("source", F.date_trunc("day", "ts").alias("bucket"))
+        .agg(F.sum("n_tok").cast("double").alias("v"))
+    )
+    packed = compress_tier(tier, value_col="v", key_cols=["source"])
+    out = decompress_tier(packed, value_col="v", key_cols=["source"])
+    return out.select(
+        "source", F.col("bucket").cast("date").alias("bucket"), "v"
+    )
+
+
 def q_gapfill_locf_1mo(spark, sf_dir):
     """Monthly tier (15th-anchored) LOCF over a per-source monthly spine."""
     tier = (
@@ -1007,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smooth_sgolay_cubic": q_smooth_sgolay_cubic,
         "smooth_all_linear": q_smooth_all_linear,
         "downscale_prec_golden": q_downscale_prec_golden,
+        "codec_roundtrip_1d": q_codec_roundtrip_1d,
         "gapfill_locf_1mo": q_gapfill_locf_1mo,
         "json_props_events": q_json_props_events,
         "sessions_events": q_sessions_events,
@@ -1078,6 +1099,7 @@ def oracle_sql() -> dict[str, str]:
         "smooth_sgolay_cubic": oracles.SMOOTH_SGOLAY_CUBIC,
         "smooth_all_linear": oracles.SMOOTH_ALL_LINEAR,
         "downscale_prec_golden": oracles.DOWNSCALE_PREC_GOLDEN,
+        "codec_roundtrip_1d": oracles.CODEC_ROUNDTRIP_1D,
         "gapfill_locf_1mo": oracles.GAPFILL_LOCF_1MO,
         "json_props_events": oracles.JSON_PROPS_EVENTS,
         "sessions_events": oracles.SESSIONS_EVENTS,

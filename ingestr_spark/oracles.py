@@ -2195,3 +2195,13 @@ reach AS (
 )
 SELECT id, MIN(r) AS rep FROM reach GROUP BY id
 """
+
+
+# Codec round trip, driver-visible: the Spark side packs the daily tier into
+# delta-of-delta + Gorilla chunks and decodes them back; the oracle is the
+# PLAIN tier — it never sees the codec, so any bit drift breaks the hash.
+CODEC_ROUNDTRIP_1D = f"""WITH {TOKENS_CTE}
+SELECT source, CAST(date_trunc('day', ts) AS DATE) AS bucket,
+       CAST(SUM(n_tok) AS DOUBLE) AS v
+FROM tok GROUP BY 1, 2
+"""
