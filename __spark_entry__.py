@@ -557,6 +557,24 @@ def q_codec_roundtrip_1d(spark, sf_dir):
     )
 
 
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end: deterministic media table -> binary
+    payloads -> mapInPandas fake decode (byte-statistics pseudo-features) ->
+    flat feature columns. The oracle reproduces the decode
+    character-for-character in DuckDB, so the Arrow batch path, the payload
+    derivation, and the chunk-mean kernel are all hash-checked; the REAL
+    decoder remains an honest NotImplementedError (no decode libs here)."""
+    from ingestr_spark.operators.multimodal import N_FEATURES, extract_features, synth_media
+
+    apply_engine_conf(spark)
+    media = synth_media(spark, 500)
+    feats = extract_features(media, decoder="fake")
+    return feats.select(
+        "media_id", "kind",
+        *[F.element_at("features", j + 1).alias(f"f{j}") for j in range(N_FEATURES)],
+    )
+
+
 def q_gapfill_locf_1mo(spark, sf_dir):
     """Monthly tier (15th-anchored) LOCF over a per-source monthly spine."""
     tier = (
@@ -1028,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smooth_all_linear": q_smooth_all_linear,
         "downscale_prec_golden": q_downscale_prec_golden,
         "codec_roundtrip_1d": q_codec_roundtrip_1d,
+        "multimodal_features": q_multimodal_features,
         "gapfill_locf_1mo": q_gapfill_locf_1mo,
         "json_props_events": q_json_props_events,
         "sessions_events": q_sessions_events,
@@ -1100,6 +1119,7 @@ def oracle_sql() -> dict[str, str]:
         "smooth_all_linear": oracles.SMOOTH_ALL_LINEAR,
         "downscale_prec_golden": oracles.DOWNSCALE_PREC_GOLDEN,
         "codec_roundtrip_1d": oracles.CODEC_ROUNDTRIP_1D,
+        "multimodal_features": oracles.MULTIMODAL_FEATURES,
         "gapfill_locf_1mo": oracles.GAPFILL_LOCF_1MO,
         "json_props_events": oracles.JSON_PROPS_EVENTS,
         "sessions_events": oracles.SESSIONS_EVENTS,

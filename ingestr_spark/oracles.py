@@ -2205,3 +2205,37 @@ SELECT source, CAST(date_trunc('day', ts) AS DATE) AS bucket,
        CAST(SUM(n_tok) AS DOUBLE) AS v
 FROM tok GROUP BY 1, 2
 """
+
+
+# Multimodal plumbing, driver-visible: the deterministic fake decoder is
+# byte statistics over a constant-length payload ('PAYLOAD:' + sha256 hex,
+# 72 bytes -> 16 np.array_split chunk means / 255), which DuckDB can
+# reproduce character-for-character (ascii() sums over fixed substring
+# boundaries). Proves the mapInPandas batch path end-to-end; the real
+# decoder stays an honest NotImplementedError (no PIL/ffmpeg here).
+MULTIMODAL_FEATURES = """
+WITH m AS (
+  SELECT printf('m-%09d', CAST(r.range AS BIGINT)) AS media_id,
+         'image' AS kind,
+         'PAYLOAD:' || sha256(CAST(r.range AS VARCHAR)) AS s
+  FROM range(500) r
+)
+SELECT media_id, kind,
+  (CAST((ascii(substring(s, 1, 1)) + ascii(substring(s, 2, 1)) + ascii(substring(s, 3, 1)) + ascii(substring(s, 4, 1)) + ascii(substring(s, 5, 1))) AS DOUBLE) / 5) / 255.0 AS f0,
+  (CAST((ascii(substring(s, 6, 1)) + ascii(substring(s, 7, 1)) + ascii(substring(s, 8, 1)) + ascii(substring(s, 9, 1)) + ascii(substring(s, 10, 1))) AS DOUBLE) / 5) / 255.0 AS f1,
+  (CAST((ascii(substring(s, 11, 1)) + ascii(substring(s, 12, 1)) + ascii(substring(s, 13, 1)) + ascii(substring(s, 14, 1)) + ascii(substring(s, 15, 1))) AS DOUBLE) / 5) / 255.0 AS f2,
+  (CAST((ascii(substring(s, 16, 1)) + ascii(substring(s, 17, 1)) + ascii(substring(s, 18, 1)) + ascii(substring(s, 19, 1)) + ascii(substring(s, 20, 1))) AS DOUBLE) / 5) / 255.0 AS f3,
+  (CAST((ascii(substring(s, 21, 1)) + ascii(substring(s, 22, 1)) + ascii(substring(s, 23, 1)) + ascii(substring(s, 24, 1)) + ascii(substring(s, 25, 1))) AS DOUBLE) / 5) / 255.0 AS f4,
+  (CAST((ascii(substring(s, 26, 1)) + ascii(substring(s, 27, 1)) + ascii(substring(s, 28, 1)) + ascii(substring(s, 29, 1)) + ascii(substring(s, 30, 1))) AS DOUBLE) / 5) / 255.0 AS f5,
+  (CAST((ascii(substring(s, 31, 1)) + ascii(substring(s, 32, 1)) + ascii(substring(s, 33, 1)) + ascii(substring(s, 34, 1)) + ascii(substring(s, 35, 1))) AS DOUBLE) / 5) / 255.0 AS f6,
+  (CAST((ascii(substring(s, 36, 1)) + ascii(substring(s, 37, 1)) + ascii(substring(s, 38, 1)) + ascii(substring(s, 39, 1)) + ascii(substring(s, 40, 1))) AS DOUBLE) / 5) / 255.0 AS f7,
+  (CAST((ascii(substring(s, 41, 1)) + ascii(substring(s, 42, 1)) + ascii(substring(s, 43, 1)) + ascii(substring(s, 44, 1))) AS DOUBLE) / 4) / 255.0 AS f8,
+  (CAST((ascii(substring(s, 45, 1)) + ascii(substring(s, 46, 1)) + ascii(substring(s, 47, 1)) + ascii(substring(s, 48, 1))) AS DOUBLE) / 4) / 255.0 AS f9,
+  (CAST((ascii(substring(s, 49, 1)) + ascii(substring(s, 50, 1)) + ascii(substring(s, 51, 1)) + ascii(substring(s, 52, 1))) AS DOUBLE) / 4) / 255.0 AS f10,
+  (CAST((ascii(substring(s, 53, 1)) + ascii(substring(s, 54, 1)) + ascii(substring(s, 55, 1)) + ascii(substring(s, 56, 1))) AS DOUBLE) / 4) / 255.0 AS f11,
+  (CAST((ascii(substring(s, 57, 1)) + ascii(substring(s, 58, 1)) + ascii(substring(s, 59, 1)) + ascii(substring(s, 60, 1))) AS DOUBLE) / 4) / 255.0 AS f12,
+  (CAST((ascii(substring(s, 61, 1)) + ascii(substring(s, 62, 1)) + ascii(substring(s, 63, 1)) + ascii(substring(s, 64, 1))) AS DOUBLE) / 4) / 255.0 AS f13,
+  (CAST((ascii(substring(s, 65, 1)) + ascii(substring(s, 66, 1)) + ascii(substring(s, 67, 1)) + ascii(substring(s, 68, 1))) AS DOUBLE) / 4) / 255.0 AS f14,
+  (CAST((ascii(substring(s, 69, 1)) + ascii(substring(s, 70, 1)) + ascii(substring(s, 71, 1)) + ascii(substring(s, 72, 1))) AS DOUBLE) / 4) / 255.0 AS f15
+FROM m
+"""
