@@ -752,7 +752,8 @@ def q_clean_gpp_tokens(spark, sf_dir):
         (((F.col("id") * 13) % 100) / 100.0).alias("dtq"),
     )
     c = clean_gpp(t, nt_col="nt", dt_col="dt", nt_qc="ntq", dt_qc="dtq",
-                  threshold=0.8, freq="d", key_cols=["source"])
+                  threshold=0.8, freq="d", key_cols=["source"],
+                  approx_accuracy=None)  # exact quantiles: DuckDB mirror
     return c.groupBy("source").agg(
         F.sum(F.when(F.col("nt").isNull(), 1).otherwise(0)).alias("n_nt_null"),
         F.sum(F.when(F.col("dt").isNull(), 1).otherwise(0)).alias("n_dt_null"),

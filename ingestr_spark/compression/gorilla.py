@@ -34,6 +34,23 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+# Chunk-format version byte, written first in every blob so stored-format
+# changes fail loudly instead of decoding garbage. v2 = zigzag-symmetric dod
+# bucket ranges (round-2 fix); round-1 blobs were unversioned — their first
+# byte is the high byte of the 32-bit count, i.e. 0x00 for any chunk under
+# 2^24 points, so they are reliably rejected as "unversioned legacy".
+CODEC_VERSION = 2
+
+
+def _check_version(r: "_BitReader", what: str) -> None:
+    v = r.read(8)
+    if v != CODEC_VERSION:
+        hint = "unversioned round-1 blob (re-encode the tier)" if v == 0 else "unknown"
+        raise ValueError(
+            f"{what} chunk codec version {v} != {CODEC_VERSION} ({hint})"
+        )
+
+
 class _BitWriter:
     __slots__ = ("buf", "acc", "nbits")
 
@@ -101,6 +118,7 @@ def encode_timestamps(ts: np.ndarray) -> bytes:
     ts = np.asarray(ts, dtype=np.int64)
     n = len(ts)
     w = _BitWriter()
+    w.write(CODEC_VERSION, 8)
     w.write(n, 32)
     if n == 0:
         return w.getvalue()
@@ -142,6 +160,7 @@ def encode_timestamps(ts: np.ndarray) -> bytes:
 
 def decode_timestamps(blob: bytes) -> np.ndarray:
     r = _BitReader(blob)
+    _check_version(r, "timestamp")
     n = r.read(32)
     out = np.empty(n, dtype=np.int64)
     if n == 0:
@@ -191,6 +210,7 @@ def encode_values(vals: np.ndarray) -> bytes:
     bits = np.asarray(vals, dtype=np.float64).view(np.uint64)
     n = len(bits)
     w = _BitWriter()
+    w.write(CODEC_VERSION, 8)
     w.write(n, 32)
     if n == 0:
         return w.getvalue()
@@ -227,6 +247,7 @@ def encode_values(vals: np.ndarray) -> bytes:
 
 def decode_values(blob: bytes) -> np.ndarray:
     r = _BitReader(blob)
+    _check_version(r, "value")
     n = r.read(32)
     out = np.empty(n, dtype=np.uint64)
     if n == 0:

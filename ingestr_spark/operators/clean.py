@@ -12,16 +12,21 @@ Reference semantics:
 * P7 min-max normalization (norm_to_max, R/get_obs_bysite_fluxnet.R:1419-1423).
 * NA-sentinel mapping (-9999 → NULL, R/get_obs_bysite_fluxnet.R:1227).
 
-All are expression/aggregate compositions — no UDFs, no collects. The IQR op
-uses EXACT ``percentile`` (not approx) because the rule demands exact
-rolled-up matches; at 10^12 rows swap in ``percentile_approx`` per key if the
-exact sort-based percentile becomes the bottleneck (flagged inline).
+All are expression/aggregate compositions — no UDFs, no collects. Quantile
+ops DEFAULT to ``percentile_approx`` (Greenwald-Khanna sketch — mergeable
+map-side, the 10^12-row path); pass ``approx_accuracy=None`` for the exact
+sort-based ``percentile`` where bit-exact oracle parity is required (the
+driver oracle queries do).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: default Greenwald-Khanna sketch accuracy (rank error <= 1/accuracy) for
+#: the quantile-based cleaners — the mergeable, corpus-scale default.
+DEFAULT_QUANTILE_ACCURACY = 10000
 
 
 def na_sentinel(df: DataFrame, cols: list[str], sentinel: float = -9999.0) -> DataFrame:
@@ -54,15 +59,16 @@ def iqr_outlier_nullify(
     var: str,
     key_cols: list[str] | None = None,
     coef: float = 1.5,
-    approx_accuracy: int | None = None,
+    approx_accuracy: int | None = DEFAULT_QUANTILE_ACCURACY,
 ) -> DataFrame:
     """Tukey fence per key: q25/q75 broadcast back, nullify outside rows.
 
-    Exact ``percentile`` by default (oracle-matchable, but a full per-key
-    sort at scale). ``approx_accuracy`` switches to ``percentile_approx``
-    (Greenwald-Khanna sketch, mergeable map-side — the 10^12-row path;
-    accuracy N bounds rank error at 1/N). Fences move by at most the sketch
-    error, so only boundary rows can classify differently."""
+    DEFAULT is ``percentile_approx`` (Greenwald-Khanna sketch, mergeable
+    map-side — the 10^12-row path; accuracy N bounds rank error at 1/N).
+    Fences move by at most the sketch error, so only boundary rows can
+    classify differently. Pass ``approx_accuracy=None`` for the exact
+    interpolating ``percentile`` (a full per-key sort at scale) where
+    bit-exact oracle parity matters."""
     key_cols = key_cols or ["source"]
     if approx_accuracy is None:
         q1 = F.expr(f"percentile({var}, 0.25)")
@@ -87,14 +93,27 @@ def repeated_value_nullify(
     key_cols: list[str] | None = None,
     max_repeats: int = 3,
 ) -> DataFrame:
-    """Suspicious-repeat removal: a window count over (key, value) — cheaper
-    than the groupBy+join-back the reference shape implies, same result."""
+    """Suspicious-repeat removal via groupBy + join-back — NOT a
+    (key, value) window: a whole-partition window pins every row of one
+    exact value to a single task, and a value repeated 10^9 times is
+    precisely what this operator hunts. The groupBy count collapses
+    map-side (one row per (key, value) per partition on the wire), only
+    the over-the-cap offenders are joined back (left join on key+value;
+    the optimizer/AQE picks broadcast when that offender table is small),
+    and NULL rows never match the join so they pass through unchanged."""
     key_cols = key_cols or ["source"]
-    w = Window.partitionBy(*key_cols, var)
-    cnt = F.count(F.when(F.col(var).isNotNull(), 1)).over(w)
-    return df.withColumn(
-        var, F.when(cnt > max_repeats, None).otherwise(F.col(var))
+    offenders = (
+        df.filter(F.col(var).isNotNull())
+        .groupBy(*key_cols, var)
+        .agg(F.count(F.lit(1)).alias("_rep_n"))
+        .filter(F.col("_rep_n") > max_repeats)
+        .withColumn("_rep_bad", F.lit(True))
+        .drop("_rep_n")
     )
+    out = df.join(offenders, on=[*key_cols, var], how="left")
+    return out.withColumn(
+        var, F.when(F.col("_rep_bad"), None).otherwise(F.col(var))
+    ).drop("_rep_bad")
 
 
 def norm_to_max(
@@ -124,15 +143,21 @@ def quantile_consistency_nullify(
     key_cols: list[str] | None = None,
     q_lo: float = 0.025,
     q_hi: float = 0.975,
+    approx_accuracy: int | None = DEFAULT_QUANTILE_ACCURACY,
 ) -> DataFrame:
     """GPP NT↔DT-style consistency filter (clean_fluxnet_gpp,
     R/get_obs_bysite_fluxnet.R:1297-1388): rows whose residual falls outside
-    the [2.5%, 97.5%] residual quantiles per key are nullified."""
+    the [2.5%, 97.5%] residual quantiles per key are nullified. Sketch
+    quantiles by default; ``approx_accuracy=None`` for exact (see
+    :func:`iqr_outlier_nullify`)."""
     key_cols = key_cols or ["source"]
-    q = df.groupBy(*key_cols).agg(
-        F.expr(f"percentile({residual_col}, {q_lo})").alias("_rlo"),
-        F.expr(f"percentile({residual_col}, {q_hi})").alias("_rhi"),
-    )
+    if approx_accuracy is None:
+        lo_e = F.expr(f"percentile({residual_col}, {q_lo})")
+        hi_e = F.expr(f"percentile({residual_col}, {q_hi})")
+    else:
+        lo_e = F.expr(f"percentile_approx({residual_col}, {q_lo}, {approx_accuracy})")
+        hi_e = F.expr(f"percentile_approx({residual_col}, {q_hi}, {approx_accuracy})")
+    q = df.groupBy(*key_cols).agg(lo_e.alias("_rlo"), hi_e.alias("_rhi"))
     out = df.join(F.broadcast(q), on=key_cols, how="left")
     bad = (F.col(residual_col) < F.col("_rlo")) | (F.col(residual_col) > F.col("_rhi"))
     return out.withColumn(var, F.when(bad, None).otherwise(F.col(var))).drop("_rlo", "_rhi")
@@ -156,6 +181,7 @@ def clean_gpp(
     filter_ntdt: bool = True,
     remove_neg: bool = False,
     key_cols: list[str] | None = None,
+    approx_accuracy: int | None = DEFAULT_QUANTILE_ACCURACY,
 ) -> DataFrame:
     """Composite GPP cleaning (clean_fluxnet_gpp,
     R/get_obs_bysite_fluxnet.R:1297-1388; criteria of Tramontana et al. 2016):
@@ -168,8 +194,10 @@ def clean_gpp(
     3. Tukey-IQR outlier removal on each series (coef 1.5);
     4. optional negative removal.
 
-    All steps compose existing primitives; quantiles are exact
-    ``percentile`` per key, broadcast back.
+    All steps compose existing primitives; quantiles are sketch-based by
+    default (broadcast back per key) — ``approx_accuracy=None`` switches
+    every quantile in the pipeline to exact ``percentile`` (the oracle
+    mirror requires it).
     """
     key_cols = key_cols or ["sitename"]
     if freq != "hh":
@@ -180,11 +208,13 @@ def clean_gpp(
         df = qc_code_nullify(df, dt_col, hh_qc, max_code=1)
     if filter_ntdt:
         df = df.withColumn("_res", F.col(nt_col) - F.col(dt_col))
-        df = quantile_consistency_nullify(df, nt_col, "_res", key_cols)
-        df = quantile_consistency_nullify(df, dt_col, "_res", key_cols)
+        df = quantile_consistency_nullify(df, nt_col, "_res", key_cols,
+                                          approx_accuracy=approx_accuracy)
+        df = quantile_consistency_nullify(df, dt_col, "_res", key_cols,
+                                          approx_accuracy=approx_accuracy)
         df = df.drop("_res")
-    df = iqr_outlier_nullify(df, nt_col, key_cols)
-    df = iqr_outlier_nullify(df, dt_col, key_cols)
+    df = iqr_outlier_nullify(df, nt_col, key_cols, approx_accuracy=approx_accuracy)
+    df = iqr_outlier_nullify(df, dt_col, key_cols, approx_accuracy=approx_accuracy)
     if remove_neg:
         df = negative_nullify(df, nt_col)
         df = negative_nullify(df, dt_col)

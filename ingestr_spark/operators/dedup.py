@@ -97,9 +97,13 @@ def lsh_candidate_pairs(
         bucket = F.concat_ws("_", *[F.col(c).cast("string") for c in cols])
         banded = sig.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
         if max_bucket_rows is not None:
+            # NOT broadcast: the size table has one row per distinct bucket
+            # (full corpus cardinality) — let the optimizer pick shuffle vs
+            # broadcast from measured size (AQE), only the FILTERED side is
+            # ever small enough to broadcast and only at fixture scale.
             sizes = banded.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
             banded = banded.join(
-                F.broadcast(sizes.filter(F.col("_bn") <= max_bucket_rows)), "bucket"
+                sizes.filter(F.col("_bn") <= max_bucket_rows), "bucket"
             ).drop("_bn")
         left = banded.alias("l")
         right = banded.alias("r")
@@ -159,9 +163,12 @@ def ngram_jaccard_pairs(
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     sh_join = sh
     if max_shingle_freq is not None:
+        # NOT broadcast: one row per distinct shingle — corpus-cardinality.
+        # A shuffle join (or AQE-chosen broadcast when actually small) keeps
+        # the driver out of the data path at 10^9+ shingles.
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
         sh_join = sh.join(
-            F.broadcast(freq.filter(F.col("_df") <= max_shingle_freq)), "shingle"
+            freq.filter(F.col("_df") <= max_shingle_freq), "shingle"
         ).drop("_df")
     inter = (
         sh_join.alias("l")
@@ -333,14 +340,18 @@ def cluster_representatives(
     connected components and elect the MIN id of each component as its
     representative (keep rep, drop the rest).
 
-    Min-label propagation: every node starts as its own rep; each round a
-    node adopts the smallest rep among itself and its neighbors. Converges
-    in O(component diameter) rounds — near-dup clusters are shallow, and
-    convergence is detected via the monotonically decreasing rep-sum (one
-    scalar per round, no row-wise diff). Each round is one join + one
-    aggregate, the standard large-scale connected-components shape
-    (Pregel-style); lineage is cut per round with localCheckpoint so the
-    plan stays flat. Returns (id, rep)."""
+    Min-label propagation WITH pointer jumping: every node starts as its own
+    rep; each round a node adopts the smallest rep among itself, its
+    neighbors' reps, and its rep's rep (path halving). The jump step turns
+    the O(diameter) plain propagation into O(log diameter) rounds, so even
+    chain-shaped duplicate clusters converge well inside ``max_iter``.
+    Convergence is detected via the monotonically decreasing rep-sum (one
+    scalar per round, no row-wise diff); if the loop exhausts ``max_iter``
+    while still changing, a RuntimeError is raised rather than silently
+    returning split components. Each round is two joins + one aggregate, the
+    standard large-scale connected-components shape (Pregel-style); lineage
+    is cut per round with localCheckpoint so the plan stays flat.
+    Returns (id, rep)."""
     labels = ids.select(F.col(id_col).alias("id")).distinct().withColumn(
         "rep", F.col("id")
     )
@@ -353,6 +364,7 @@ def cluster_representatives(
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("rep")).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         neigh = (
             edges.join(labels.withColumnRenamed("id", "dst"), "dst")
@@ -360,18 +372,33 @@ def cluster_representatives(
             .agg(F.min("rep").alias("_nrep"))
             .withColumnRenamed("src", "id")
         )
+        # pointer jump: rep of my rep (labels is (id, rep); self-join rep=id)
+        jump = labels.select(
+            F.col("id").alias("rep"), F.col("rep").alias("_jrep")
+        )
         labels = (
             labels.join(neigh, "id", "left")
+            .join(jump, "rep", "left")
             .select(
                 "id",
-                F.least(F.col("rep"), F.coalesce("_nrep", "rep")).alias("rep"),
+                F.least(
+                    F.col("rep"),
+                    F.coalesce("_nrep", "rep"),
+                    F.coalesce("_jrep", "rep"),
+                ).alias("rep"),
             )
             .localCheckpoint(eager=True)
         )
         cur_sum = labels.agg(F.sum("rep")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"cluster_representatives did not converge in {max_iter} rounds; "
+            "components deeper than 2^max_iter or a live data change mid-run"
+        )
     return labels
 
 
@@ -422,9 +449,11 @@ def embedding_near_dup_lsh(
         )).alias("bv"),
     ).select("id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
     if max_bucket_rows is not None:
+        # NOT broadcast: one row per distinct (band, bucket) — corpus-scale
+        # cardinality; the optimizer picks the join strategy from size.
         sizes = banded.groupBy("band", "val").agg(F.count(F.lit(1)).alias("_bn"))
         banded = banded.join(
-            F.broadcast(sizes.filter(F.col("_bn") <= max_bucket_rows)),
+            sizes.filter(F.col("_bn") <= max_bucket_rows),
             ["band", "val"],
         ).drop("_bn")
     cand = (

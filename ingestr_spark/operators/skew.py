@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ingestr_spark.operators.rollup import TIER_GRAIN, _derived, with_token_stats
+from ingestr_spark.operators.rollup import _derived, bucket_expr, with_token_stats
 
 
 def salted_rollup_from_raw(
@@ -30,11 +30,10 @@ def salted_rollup_from_raw(
     """Two-phase rollup: partial agg on (source, bucket, salt), final agg on
     (source, bucket). Salt derives from a deterministic row attribute
     (id % n) — reproducible, unlike a random salt."""
-    grain = TIER_GRAIN[tier]
     stats = with_token_stats(df)
     partial = stats.groupBy(
         F.col(key).alias("source"),
-        F.date_trunc(grain, F.col(ts_col)).alias("bucket"),
+        bucket_expr(tier, ts_col).alias("bucket"),
         (F.col(salt_col) % n_salts).alias("_salt"),
     ).agg(
         F.count(F.lit(1)).alias("n_seq"),

@@ -67,7 +67,10 @@ def test_clean_gpp_composite(spark):
         rows, "sitename string, gpp_nt double, gpp_dt double,"
         "nee_night_qc double, nee_day_qc double"
     )
-    out = clean_gpp(df, threshold=0.8)
+    # exact quantiles: at n=40 the sketch fence IS the planted max residual
+    # (percentile_approx returns data values), so the semantic check needs
+    # the interpolating exact percentile
+    out = clean_gpp(df, threshold=0.8, approx_accuracy=None)
     assert out.filter("gpp_nt IS NULL").count() >= 3  # qc + residual + outlier
     assert out.filter("gpp_nt = 500.0").count() == 0  # IQR removed the spike
 
@@ -102,8 +105,8 @@ def test_iqr_approx_path_close_to_exact(spark, tok):
     from ingestr_spark.operators.clean import iqr_outlier_nullify
 
     d = tok.select("source", F.col("n_tok").cast("double").alias("v"))
-    exact = iqr_outlier_nullify(d, "v", ["source"])
-    approx = iqr_outlier_nullify(d, "v", ["source"], approx_accuracy=10000)
+    exact = iqr_outlier_nullify(d, "v", ["source"], approx_accuracy=None)
+    approx = iqr_outlier_nullify(d, "v", ["source"])  # sketch is the default
     n_exact = exact.filter("v IS NULL").count()
     n_approx = approx.filter("v IS NULL").count()
     assert abs(n_exact - n_approx) <= max(2, n_exact // 50)

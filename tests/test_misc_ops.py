@@ -181,3 +181,16 @@ def test_norm_to_max_no_bare_key_window(spark, tok):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_repeated_value_nullify_no_window(spark, tok):
+    """repeated_value_nullify is groupBy + join-back (a hot value repeated
+    10^9 times must never pin one task): no Window node in the plan."""
+    from ingestr_spark.operators.clean import repeated_value_nullify
+
+    out = repeated_value_nullify(
+        tok.select("source", F.col("n_tok").cast("double").alias("v")),
+        "v", ["source"], max_repeats=3,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan

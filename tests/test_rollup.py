@@ -42,6 +42,19 @@ def test_salted_equals_unsalted(tok):
     assert _rows(plain) == _rows(salted)
 
 
+def test_salted_supports_every_advertised_tier(tok):
+    """Every tier in TIER_ORDER (incl. the bucket-expression-only '1w_ref')
+    works on the salted skew path, not just the date_trunc grains."""
+    from ingestr_spark.operators.rollup import TIER_ORDER
+
+    for tier in TIER_ORDER:
+        if tier == "raw":
+            continue
+        plain = rollup_from_raw(tok, tier)
+        salted = salted_rollup_from_raw(tok, tier, n_salts=4)
+        assert _rows(plain) == _rows(salted), tier
+
+
 def test_partitioning_invariance(tok):
     one = rollup_from_raw(tok.coalesce(1), "1d")
     many = rollup_from_raw(tok.repartition(16), "1d")
