@@ -49,14 +49,23 @@ PROBE_RUNS = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "8"))
 # minima and round samples accumulate across invocations instead.
 PROBE_INJVM = int(os.environ.get("SPARK_GRAFT_PROBE_INJVM", "2"))
 
+# round-3 note: the registry was consolidated into <=50 composites (the
+# driver records at most ~50 correctness rows), so headline names changed:
+# rollup_tiers ⊃ old rollup_1d/1w(+1h/1w_ref), rollup_cascades ⊃ old
+# rollup_1mo/1y_cascade, rollup_skew ⊃ old rollup_1d_salted(+hot),
+# gapfill_methods_1d ⊃ old gapfill_locf/linear_1d(+zero/lag2). The dedup/ANN
+# hot paths (minhash LSH, embedding LSH+exact, ANN brute+LSH) now carry perf
+# telemetry too.
 HEADLINE = [
-    "rollup_1d",
-    "rollup_1mo_cascade",
-    "rollup_1d_salted",
-    "gapfill_locf_1d",
-    "gapfill_linear_1d",
+    "rollup_tiers",
+    "rollup_cascades",
+    "rollup_skew",
+    "gapfill_methods_1d",
     "tokens_invariant",
     "events_rollup_1h",
+    "minhash_pairs",
+    "embedding_neardup_pair",
+    "ann_topk_both",
 ]
 
 

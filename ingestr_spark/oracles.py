@@ -2239,3 +2239,269 @@ SELECT media_id, kind,
   (CAST((ascii(substring(s, 69, 1)) + ascii(substring(s, 70, 1)) + ascii(substring(s, 71, 1)) + ascii(substring(s, 72, 1))) AS DOUBLE) / 4) / 255.0 AS f15
 FROM m
 """
+
+
+# =============================================================================
+# Round-3 composites: the driver records at most ~50 queries, so every
+# operator's oracle is packed into <=50 registered entries. Each composite
+# below REUSES the standalone oracle strings verbatim (DuckDB allows CTEs in
+# subqueries), so the per-operator mirrors stay in lockstep — a composite is
+# a union-with-tag (same-schema operators) or a key join (per-row operators),
+# never a weaker check.
+# =============================================================================
+
+def _epoch_tier(tag: str, sql: str) -> str:
+    """Wrap a DATE-bucket tier oracle into (tier, source, bucket_epoch, accs)."""
+    return f"""SELECT '{tag}' AS tier, source,
+  CAST(epoch(CAST(bucket AS TIMESTAMP)) AS BIGINT) AS bucket_epoch,
+  n_seq, sum_n_tok, min_n_tok, max_n_tok, tok_sum, tok_min, tok_max,
+  qc_ok_cnt, avg_n_tok, qc_frac
+FROM ({sql})"""
+
+
+ROLLUP_TIERS = f"""
+SELECT '1h' AS tier, * FROM ({ROLLUP_1H})
+UNION ALL {_epoch_tier('1d', ROLLUP_1D)}
+UNION ALL {_epoch_tier('1w', ROLLUP_1W)}
+UNION ALL {_epoch_tier('1w_ref', ROLLUP_1W_REF)}
+"""
+
+ROLLUP_CASCADES = f"""
+SELECT '1mo' AS tier, * FROM ({ROLLUP_1MO})
+UNION ALL SELECT '1y' AS tier, * FROM ({ROLLUP_1Y})
+UNION ALL SELECT '1w' AS tier, * FROM ({ROLLUP_1W})
+"""
+
+# salted two-phase agg == plain rollup; hot = pushdown path (filter before
+# rollup on the Spark side), full accumulator schema for both
+ROLLUP_SKEW = f"""
+SELECT 'salted' AS path, * FROM ({ROLLUP_1D})
+UNION ALL
+SELECT 'hot' AS path, * FROM ({ROLLUP_1D}) WHERE source = 'hot'
+"""
+
+GAPFILL_METHODS_1D = f"""
+SELECT l.source, l.bucket, l.gap,
+       l.sum_n_tok AS locf_sum,  l.n_seq AS locf_nseq,
+       z.sum_n_tok AS zero_sum,  z.n_seq AS zero_nseq,
+       i.sum_n_tok AS lin_sum,
+       g.sum_n_tok AS lag2_sum
+FROM ({GAPFILL_LOCF_1D}) l
+JOIN ({GAPFILL_ZERO_1D}) z ON z.source = l.source AND z.bucket = l.bucket
+JOIN ({GAPFILL_LINEAR_1D}) i ON i.source = l.source AND i.bucket = l.bucket
+JOIN ({GAPFILL_LAG2_1D}) g ON g.source = l.source AND g.bucket = l.bucket
+"""
+
+FINGERPRINTS_TOKENS = f"""
+SELECT a.id, a.fp, b.simhash
+FROM ({TOKEN_FINGERPRINT}) a JOIN ({SIMHASH_FP}) b ON b.id = a.id
+"""
+
+EMBEDDING_NEARDUP_PAIR = f"""
+SELECT 'exact' AS method, * FROM ({EMBEDDING_NEARDUP})
+UNION ALL
+SELECT 'lsh' AS method, * FROM ({EMBEDDING_NEARDUP_LSH})
+"""
+
+ANN_TOPK_BOTH = f"""
+SELECT 'brute' AS method, * FROM ({ANN_TOPK})
+UNION ALL
+SELECT 'lsh' AS method, * FROM ({ANN_TOPK_LSH})
+"""
+
+DOWNSCALE_MONTHLY_DAILY = f"""
+SELECT s.sitename, s.date, s.v AS v_step, p.v AS v_poly
+FROM ({DOWNSCALE_STEP}) s
+JOIN ({DOWNSCALE_POLYNOM}) p ON p.sitename = s.sitename AND p.date = s.date
+"""
+
+SMOOTH_METHODS = f"""
+SELECT 'cubic' AS series, source, bucket,
+       CAST(NULL AS DOUBLE) AS v_lo, CAST(NULL AS DOUBLE) AS v_sp, v_sg
+FROM ({SMOOTH_SGOLAY_CUBIC})
+UNION ALL
+SELECT 'linear' AS series, source, bucket, v_lo, v_sp, v_sg
+FROM ({SMOOTH_ALL_LINEAR})
+"""
+
+ASOF_NEAREST_DAILY = f"""
+SELECT a.doc_id, a.source, a.day_sum AS asof_day_sum,
+       b.day_sum AS near_day_sum, b.nearest_dist
+FROM ({ASOF_DAILY_STATE}) a
+JOIN ({NEAREST_DAILY_STATE}) b ON b.doc_id = a.doc_id
+"""
+
+FILTERED_EVENTS_AGG = f"""
+SELECT 'busy_semi' AS rule, * FROM ({BUSY_DAYS_SEMIJOIN})
+UNION ALL
+SELECT 'anti_failed' AS rule, * FROM ({ANTI_JOIN_EVENTS})
+"""
+
+DOY_SCALE_FILL = f"""
+SELECT 'doy_clim' AS path, * FROM ({DOY_CLIM_FILL_1D})
+UNION ALL
+SELECT 'scale_dim' AS path, * FROM ({SCALE_FACTOR_DIM})
+"""
+
+# per-source wide audit: D1 noleap spine + W5 Dec-30 patch + P4 GPP cleaning
+# aggregates + A12 completeness + R4 nest probes + R3 union_with_id pivoted
+SOURCE_AUDIT_COMPOSITE = f"""
+SELECT n.source, n.n_days,
+       p.n_rows AS patch_n_rows, p.max_date AS patch_max_date,
+       p.total AS patch_total,
+       g.n_nt_null, g.n_dt_null, g.sum_nt, g.sum_dt,
+       c.n_a, c.n_b, c.keep,
+       t.n_days AS nest_n_days, t.first_bucket, t.last_v,
+       u.n_good, u.tot_good, u.n_bad, u.tot_bad
+FROM ({NOLEAP_SPINE_DAYS}) n
+JOIN ({PATCH_DEC30_TIER}) p ON p.source = n.source
+JOIN ({CLEAN_GPP_TOKENS}) g ON g.source = n.source
+JOIN ({COMPLETENESS_TOKENS}) c ON c.source = n.source
+JOIN ({NEST_TOKENS}) t ON t.source = n.source
+JOIN (
+  SELECT source,
+    CAST(COALESCE(SUM(CASE WHEN part = 'good' THEN n END), 0) AS BIGINT) AS n_good,
+    CAST(COALESCE(SUM(CASE WHEN part = 'good' THEN total END), 0) AS BIGINT) AS tot_good,
+    CAST(COALESCE(SUM(CASE WHEN part = 'bad' THEN n END), 0) AS BIGINT) AS n_bad,
+    CAST(COALESCE(SUM(CASE WHEN part = 'bad' THEN total END), 0) AS BIGINT) AS tot_bad
+  FROM ({UNION_WITH_ID}) GROUP BY source
+) u ON u.source = n.source
+"""
+
+
+# ---- F4 calc_daily_solar (SPLASH) oracle ------------------------------------
+# Mirrors functions/solar.py operand-for-operand. Scalar subexpressions that
+# solar.py folds in PYTHON (xlam, the anomaly coefficients, the radiation /
+# ppfd prefactors) are computed HERE with the same Python expressions and
+# injected as repr() literals — shortest-repr doubles parse back to the
+# identical bits in DuckDB. Column-level transcendentals (JVM StrictMath-ish
+# vs libm, ~1 ulp apart) are absorbed by round(…, 4-6); ra is reported in
+# MJ/m² so 1-ulp jitter sits ~1e-13 below the rounding grid.
+import math as _math  # noqa: E402
+
+from ingestr_spark.functions import solar as _sol  # noqa: E402
+
+_S_PIR = _sol.PIR
+_S_KE = _sol.ECCEN
+_S_XEE = _S_KE ** 2
+_S_XEC = _S_KE ** 3
+_S_XSE = _math.sqrt(1 - _S_XEE)
+_S_KOM = _sol.OMEGA
+_S_XLAM = 2.0 * (
+    (_S_KE / 2.0 + _S_XEC / 8.0) * (1 + _S_XSE) * _math.sin(_S_KOM * _S_PIR)
+    - _S_XEE / 4.0 * (0.5 + _S_XSE) * _math.sin(2 * _S_KOM * _S_PIR)
+    + _S_XEC / 8.0 * (1.0 / 3.0 + _S_XSE) * _math.sin(3 * _S_KOM * _S_PIR)
+) / _S_PIR
+_S_C1 = 2.0 * _S_KE - _S_XEC / 4.0
+_S_C2 = 5.0 / 4.0 * _S_XEE
+_S_C3 = 13.0 / 12.0 * _S_XEC
+_S_RHO_NUM = 1 - _S_KE ** 2
+_S_SINKEPS = _math.sin(_sol.OBLIQ * _S_PIR)
+_S_RA = (86400.0 / _math.pi) * _sol.KGSC
+_S_PPFD = 1e-6 * _sol.KF_FEC * (1 - _sol.KALB_VIS)
+
+SOLAR_FUNCTIONS_TOKENS = f"""WITH {TOKENS_CTE},
+b AS (
+  SELECT doc_id_str AS doc_id,
+    CAST(id % 3000 AS DOUBLE) AS elv,
+    (id % 100) / 100.0 AS sf,
+    CAST((id % 120) - 60 AS DOUBLE) AS lat,
+    CAST(dayofyear(ts) AS DOUBLE) AS doy
+  FROM tok
+),
+s1 AS (
+  SELECT *, ({_S_XLAM!r} + ((doy - 80.0) * (360.0 / 365.0))) - {_S_KOM!r} AS anm
+  FROM b
+),
+s2 AS (SELECT *, anm * {_S_PIR!r} AS ranm FROM s1),
+s3 AS (
+  SELECT *, ((ranm + ({_S_C1!r} * sin(ranm))) + ({_S_C2!r} * sin(2.0 * ranm)))
+            + ({_S_C3!r} * sin(3.0 * ranm)) AS ranv
+  FROM s2
+),
+s4 AS (SELECT *, (ranv / {_S_PIR!r}) + {_S_KOM!r} AS tls0 FROM s3),
+s5 AS (
+  SELECT *, CASE WHEN tls0 < 0 THEN tls0 + 360 WHEN tls0 > 360 THEN tls0 - 360
+                 ELSE tls0 END AS lam
+  FROM s4
+),
+s6 AS (
+  SELECT *, CASE WHEN lam - {_S_KOM!r} < 0 THEN (lam - {_S_KOM!r}) + 360
+                 ELSE lam - {_S_KOM!r} END AS nu
+  FROM s5
+),
+s7 AS (
+  SELECT *, {_S_RHO_NUM!r} / (1 + ({_S_KE!r} * cos(nu * {_S_PIR!r}))) AS rho,
+            asin(sin(lam * {_S_PIR!r}) * {_S_SINKEPS!r}) / {_S_PIR!r} AS delta
+  FROM s6
+),
+s8 AS (
+  SELECT *, pow(1 / rho, 2) AS dr,
+            sin(delta * {_S_PIR!r}) * sin(lat * {_S_PIR!r}) AS ru,
+            cos(delta * {_S_PIR!r}) * cos(lat * {_S_PIR!r}) AS rv
+  FROM s7
+),
+s9 AS (
+  SELECT *, CASE WHEN ru / rv >= 1.0 THEN 180.0
+                 WHEN ru / rv <= -1.0 THEN 0.0
+                 ELSE acos(-(ru / rv)) / {_S_PIR!r} END AS hs
+  FROM s8
+),
+s10 AS (
+  SELECT *, ({_S_RA!r} * dr) * (((ru * {_S_PIR!r}) * hs)
+                                + (rv * sin(hs * {_S_PIR!r}))) AS ra,
+            (0.25 + (0.5 * sf)) * (1 + (2.67e-05 * elv)) AS tau
+  FROM s9
+)
+SELECT doc_id,
+  round(dr, 6) AS dr,
+  round(delta, 4) AS delta_deg,
+  round(hs, 4) AS hs_deg,
+  round(ra / 1000000.0, 4) AS ra_mj_m2,
+  tau,
+  round(({_S_PPFD!r} * tau) * ra, 4) AS ppfd
+FROM s10
+"""
+
+# F1/F2/F3/F5 + F4 + J5/A10 in one doc_id-keyed join
+SCALAR_FUNCTIONS_TOKENS = f"""
+SELECT m.doc_id, m.patm, m.vp, m.vpd, m.tgrowth,
+       s.dr, s.delta_deg, s.hs_deg, s.ra_mj_m2, s.tau, s.ppfd,
+       x.v AS v_scaled
+FROM ({MET_FUNCTIONS_TOKENS}) m
+JOIN ({SOLAR_FUNCTIONS_TOKENS}) s ON s.doc_id = m.doc_id
+JOIN ({MEAN_SCALING_TOKENS}) x ON x.doc_id = m.doc_id
+"""
+
+
+# ---- REAL WAV/PCM16 decode oracle --------------------------------------------
+# The Spark side writes genuine RIFF/WAVE payloads (multimodal.synth_wav_media)
+# and parses them back with the real byte-level decoder
+# (multimodal.decode_wav via extract_wav_stats). The oracle recomputes the
+# statistics from the generative sample formula — so the writer, the
+# container round-trip, and the parser are all hash-checked. All outputs are
+# integers (duration in exact integer microseconds): no float crosses engines.
+MULTIMODAL_REAL_WAV = """
+WITH m AS (
+  SELECT CAST(r.range AS BIGINT) AS rid,
+         CAST(800 + (r.range % 5) * 160 AS BIGINT) AS n
+  FROM range(500) r
+),
+x AS (SELECT rid, n, unnest(range(n)) AS i FROM m),
+v AS (
+  SELECT rid, n, ((rid * 7919 + i * 104729) % 65536) - 32768 AS amp
+  FROM x
+)
+SELECT printf('m-%09d', rid) AS media_id,
+  16000 AS sample_rate,
+  1 AS n_channels,
+  16 AS bits,
+  CAST(n AS INT) AS n_samples,
+  CAST(n * 1000000 // 16000 AS BIGINT) AS duration_us,
+  CAST(SUM(amp) AS BIGINT) AS amp_sum,
+  CAST(SUM(amp * amp) AS BIGINT) AS amp_sumsq,
+  CAST(MIN(amp) AS INT) AS amp_min,
+  CAST(MAX(amp) AS INT) AS amp_max,
+  TRUE AS decode_ok
+FROM v GROUP BY rid, n
+"""

@@ -114,3 +114,24 @@ def test_tier_compress_decompress_roundtrip(spark, tok):
         F.sum(F.length("ts_dod") + F.length("vals_gorilla")).alias("bytes"),
     ).collect()[0]
     assert stats["bytes"] < stats["pts"] * 16
+
+
+def test_unversioned_legacy_blob_rejected():
+    """Round-1 blobs had no version byte; their first byte is the high byte
+    of the 32-bit count (0x00 for any real chunk) — the decoder must fail
+    loudly instead of decoding garbage."""
+    import numpy as np
+    import pytest
+
+    from ingestr_spark.compression.gorilla import (
+        decode_timestamps,
+        decode_values,
+        encode_timestamps,
+    )
+
+    blob = encode_timestamps(np.array([0, 60, 120], dtype=np.int64))
+    legacy = blob[1:]  # strip the version byte = a round-1-format blob
+    with pytest.raises(ValueError, match="version"):
+        decode_timestamps(legacy)
+    with pytest.raises(ValueError, match="version"):
+        decode_values(legacy)

@@ -194,3 +194,53 @@ def test_repeated_value_nullify_no_window(spark, tok):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_wav_roundtrip_and_malformed():
+    import numpy as np
+    import pytest
+
+    from ingestr_spark.operators.multimodal import decode_wav, encode_wav_pcm16
+
+    s = np.array([-32768, -1, 0, 1, 32767, 123], dtype=np.int16)
+    d = decode_wav(encode_wav_pcm16(s, rate=8000, channels=1))
+    assert d["sample_rate"] == 8000 and d["n_channels"] == 1 and d["bits"] == 16
+    assert (d["samples"] == s).all()
+    # odd-length unknown chunk before data: word-aligned walk must skip it
+    blob = encode_wav_pcm16(s)
+    extra = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"
+    patched = blob[:12] + extra + blob[12:]
+    patched = b"RIFF" + (len(patched) - 8).to_bytes(4, "little") + patched[8:]
+    assert (decode_wav(patched)["samples"] == s).all()
+    with pytest.raises(ValueError):
+        decode_wav(b"notawav")
+    with pytest.raises(ValueError):
+        decode_wav(blob[:20])  # truncated
+
+
+def test_wav_stats_distributed(spark):
+    """extract_wav_stats decodes real WAV payloads inside mapInPandas and a
+    malformed payload degrades to decode_ok=false, not a task failure."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from ingestr_spark.operators.multimodal import (
+        extract_wav_stats,
+        synth_wav_media,
+    )
+
+    out = extract_wav_stats(synth_wav_media(spark, 20)).collect()
+    assert len(out) == 20
+    r0 = {r["media_id"]: r for r in out}["m-000000000"]
+    assert r0["n_samples"] == 800 and r0["duration_us"] == 50000
+    assert r0["decode_ok"]
+    bad = spark.createDataFrame(
+        pd.DataFrame({"media_id": ["x"], "payload": [b"garbage"]}),
+        T.StructType([
+            T.StructField("media_id", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]),
+    )
+    rows = extract_wav_stats(bad).collect()
+    assert len(rows) == 1 and rows[0]["decode_ok"] is False

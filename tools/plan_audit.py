@@ -5,7 +5,7 @@ properties) — this prints the full `explain("formatted")` output so a
 reviewer can read the actual plans without wiring a notebook:
 
     python3 tools/plan_audit.py                 # all audited queries, sf0.01
-    python3 tools/plan_audit.py rollup_1d asof_daily_state
+    python3 tools/plan_audit.py rollup_tiers asof_nearest_daily
 
 What to look for (the properties the tests pin):
 
@@ -26,15 +26,12 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 AUDITED = [
-    "rollup_1d",
-    "rollup_1mo_cascade",
-    "rollup_1d_salted",
-    "gapfill_locf_1d",
-    "gapfill_linear_1d",
-    "asof_daily_state",
-    "nearest_daily_state",
-    "embedding_neardup",
-    "embedding_neardup_lsh",
+    "rollup_tiers",
+    "rollup_cascades",
+    "rollup_skew",
+    "gapfill_methods_1d",
+    "asof_nearest_daily",
+    "embedding_neardup_pair",
     "minhash_pairs",
     "top3_docs_per_source",
     "norm_to_max_lineitem",
