@@ -432,11 +432,12 @@ def embedding_near_dup_lsh(
     from ingestr_spark.operators.similarity import sign_sketch_expr
 
     width = bits // bands
+    dim = len(df.select(qvec_col).first()[0])  # bounded driver action
     s = df.select(
         F.col(id_col).alias("id"),
         F.col(qvec_col).alias("q"),
         F.aggregate(qvec_col, F.lit(0).cast("long"), lambda a, x: a + x * x).alias("nrm"),
-        F.expr(sign_sketch_expr(qvec_col, bits)).alias("sk"),
+        F.expr(sign_sketch_expr(qvec_col, bits, dim)).alias("sk"),
     )
     # band value = the width-bit slice packed into an int
     band_val = "aggregate(zip_with(slice(sk, band*{w}+1, {w}), sequence(0, {w1}), (b, j) -> shiftleft(b, j)), 0, (a, x) -> a + x)".format(

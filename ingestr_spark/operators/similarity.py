@@ -85,36 +85,65 @@ def brute_force_topk(
     )
 
 
-def _weight_expr(p_expr: str, d_expr: str, dim_expr: str) -> str:
-    """SQL for w[p][d] with the quadratic index mix (int64-safe)."""
-    k = f"CAST({p_expr} * {dim_expr} + {d_expr} + 1 AS BIGINT)"
-    return f"(({k} * {k} * {HP_A} + {k} * {HP_B}) % {HP_MOD} - {HP_HALF})"
-
-
-def sign_sketch_expr(qvec_col: str, bits: int) -> str:
+def sign_sketch_expr(qvec_col: str, bits: int, dim: int) -> str:
     """SQL expression: array<int> of ``bits`` sign bits (1 if the projection
-    of the pre-quantized bigint vector onto hyperplane p is > 0). One
-    codegen'd higher-order expression — no Python, no shuffle."""
-    dim = f"size({qvec_col})"
-    w = _weight_expr("p", "d", dim)
-    return (
-        f"transform(sequence(0, {bits - 1}), p -> CASE WHEN aggregate("
-        f"zip_with({qvec_col}, sequence(0, {dim} - 1), (x, d) -> x * {w}), "
-        f"CAST(0 AS BIGINT), (a, x) -> a + x) > 0 THEN 1 ELSE 0 END)"
-    )
+    of the pre-quantized bigint vector onto hyperplane p is > 0). The
+    hyperplane weights are data-independent, so they are embedded as literal
+    arrays — one small zip_with dot product per bit (generating the weight
+    arithmetic per element instead puts O(bits·dim) interpreted lambda terms
+    in the row hot path; lambda bodies block subexpression elimination)."""
+    terms = []
+    for row in hyperplane_weights(bits, dim):
+        wlit = "array(" + ", ".join(f"{w}L" for w in row) + ")"
+        proj = (
+            f"aggregate(zip_with({qvec_col}, {wlit}, (x, w) -> x * w), "
+            f"CAST(0 AS BIGINT), (a, x) -> a + x)"
+        )
+        terms.append(f"CASE WHEN {proj} > 0 THEN 1 ELSE 0 END")
+    return "array(" + ", ".join(terms) + ")"
 
 
-def hyperplane_bucket(df: DataFrame, vec_col: str, bits: int = 8, out: str = "bucket") -> DataFrame:
+def hyperplane_weights(bits: int, dim: int) -> list[list[int]]:
+    """The deterministic hyperplane weight matrix w[p][d] (same quadratic
+    index mix as :func:`sign_sketch_expr` / the DuckDB oracle)."""
+    out = []
+    for p in range(bits):
+        row = []
+        for d in range(dim):
+            k = p * dim + d + 1
+            row.append((k * k * HP_A + k * HP_B) % HP_MOD - HP_HALF)
+        out.append(row)
+    return out
+
+
+def hyperplane_bucket(
+    df: DataFrame, vec_col: str, bits: int = 8, out: str = "bucket",
+    dim: int | None = None,
+) -> DataFrame:
     """Sign-bit bucket from ``bits`` deterministic hyperplanes. The
     projection is an integer dot product with pseudo-random int weights in
-    [-HP_HALF, HP_HALF] — exact, engine-independent."""
+    [-HP_HALF, HP_HALF] — exact, engine-independent.
+
+    The weights are data-independent, so they are computed driver-side and
+    embedded as ``bits`` LITERAL arrays (one small zip_with dot product per
+    bit). The previous formulation generated the weight arithmetic as a
+    per-element SQL expression that textually embedded the quantization
+    transform (Catalyst collapses projects, and lambda bodies block
+    subexpression elimination) — O(bits·dim²) interpreted work per row,
+    measured ~15x slower on the ANN bench. ``dim`` is read from one row
+    when not given (a bounded driver action)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     q = f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * {SCALE}) AS BIGINT))"
-    packed = F.expr(
-        f"CAST(aggregate(zip_with({sign_sketch_expr(q, bits)}, "
-        f"sequence(0, {bits - 1}), (b, p) -> shiftleft(CAST(b AS INT), p)), "
-        f"0, (a, x) -> a + x) AS INT)"
-    )
-    return df.withColumn(out, packed)
+    terms = []
+    for p, row in enumerate(hyperplane_weights(bits, dim)):
+        wlit = "array(" + ", ".join(f"{w}L" for w in row) + ")"
+        proj = (
+            f"aggregate(zip_with({q}, {wlit}, (x, w) -> x * w), "
+            f"CAST(0 AS BIGINT), (a, x) -> a + x)"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return df.withColumn(out, F.expr("CAST(" + " + ".join(terms) + " AS INT)"))
 
 
 def _centroid_dist_structs(qcol: str, centroids: list[list[float]]):
