@@ -2,16 +2,32 @@
 per-partition lineage + metrics (north-rule mandates; reference analog is the
 read-if-exists CSV cache, R/ingest_modis_bysite.R:98-103, S12 in SURVEY §2.1).
 
-Storage is partitioned parquet laid out Iceberg-style (``tier=<t>`` tables
-partitioned by ``source`` and month). The container has no Iceberg runtime
-jars; the store isolates every filesystem assumption behind this class so an
-Iceberg catalog (`MERGE INTO`, snapshot-based resume) can replace the parquet
-paths without touching operators. Partition overwrite is dynamic — rewriting
-one (source, month) never touches siblings, which is what makes resume
-idempotent.
+Storage follows the Iceberg SNAPSHOT shape (without the runtime jars), which
+is what makes the commit protocol OBJECT-STORE SAFE — no in-place directory
+mutation anywhere on the read or commit path:
+
+* **Data files are immutable.** Every job writes its output under its own
+  ``data/<tier>/<job_id>/p_month=*/`` directory and never rewrites, renames,
+  or deletes another job's files. Unique paths need no rename support —
+  exactly how Iceberg writers target S3-class stores.
+* **Readers resolve partitions through a snapshot pointer.** The current
+  table state is the highest-numbered ``snapshots/<tier>/v<N>.json`` — a map
+  from ``p_month`` to the immutable data directory that currently owns it.
+  A half-written job is invisible: nothing references its files until the
+  snapshot commit.
+* **Commit = publish one new snapshot file.** The new version is created
+  with a CREATE-EXCLUSIVE link (fails loudly if the version already exists —
+  optimistic concurrency; on a real object store this is the catalog's
+  conditional PUT / compare-and-swap). Crash BEFORE the commit leaves the
+  table untouched; crash AFTER leaves only unreferenced garbage, healed by
+  :meth:`gc`. There is no partially-visible state by construction.
+* **Retention drops are metadata-only**: a new snapshot without the expired
+  months. The files become unreferenced and are collected later — Iceberg's
+  ``DELETE WHERE`` + expire-snapshots split.
 
 Layout:
-    <root>/tiers/<tier>/p_month=YYYY-MM/part-*.parquet
+    <root>/data/<tier>/<job_id>/p_month=YYYY-MM/part-*.parquet  (immutable)
+    <root>/snapshots/<tier>/v<N>.json                           (immutable)
     <root>/manifest/<tier>/part-*.parquet   (append-only lineage log)
 
 Manifest row = one completed partition:
@@ -23,6 +39,7 @@ same month — only then may the finer partition be dropped by retention.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import time
@@ -40,14 +57,82 @@ class AggregateStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root.rstrip("/")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     # ---- paths ----------------------------------------------------------
-    def tier_path(self, tier: str) -> str:
-        return f"{self.root}/tiers/{tier}"
+    def data_path(self, tier: str, job_id: str) -> str:
+        return f"{self.root}/data/{tier}/{job_id}"
+
+    def snapshots_path(self, tier: str) -> str:
+        return f"{self.root}/snapshots/{tier}"
 
     def manifest_path(self, tier: str) -> str:
         return f"{self.root}/manifest/{tier}"
+
+    # ---- snapshot pointer (the commit mechanism) --------------------------
+    def _snapshot_versions(self, tier: str) -> list[int]:
+        d = self.snapshots_path(tier)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(f[1:-5]) for f in os.listdir(d)
+            if f.startswith("v") and f.endswith(".json")
+        )
+
+    def current_snapshot(self, tier: str) -> dict:
+        """Latest committed snapshot; {} partitions when the tier has never
+        been written."""
+        versions = self._snapshot_versions(tier)
+        if not versions:
+            return {"version": 0, "partitions": {}, "job_id": None}
+        with open(f"{self.snapshots_path(tier)}/v{versions[-1]}.json") as fh:
+            return json.load(fh)
+
+    def committed_job_ids(self, tier: str) -> set[str]:
+        """Every job that ever committed a snapshot (the snapshot log is the
+        source of truth for exactly-once; the manifest is lineage/metrics)."""
+        out = set()
+        for v in self._snapshot_versions(tier):
+            with open(f"{self.snapshots_path(tier)}/v{v}.json") as fh:
+                j = json.load(fh).get("job_id")
+            if j:
+                out.add(j)
+        return out
+
+    def _commit_snapshot(
+        self, tier: str, updates: dict[str, str | None], job_id: str
+    ) -> dict:
+        """Publish snapshot v(N+1) = latest partitions patched by ``updates``
+        (month -> data dir, or None to drop the month). The file is written
+        to a unique temp name then linked to its final version name with a
+        create-exclusive primitive — a concurrent committer of the same
+        version fails loudly instead of silently clobbering (single-writer
+        is the documented contract; the link models Iceberg's CAS commit)."""
+        cur = self.current_snapshot(tier)
+        parts = dict(cur["partitions"])
+        for month, d in updates.items():
+            if d is None:
+                parts.pop(month, None)
+            else:
+                parts[month] = d
+        snap = {
+            "version": cur["version"] + 1,
+            "partitions": dict(sorted(parts.items())),
+            "job_id": job_id,
+            "committed_at": time.time(),
+        }
+        d = self.snapshots_path(tier)
+        os.makedirs(d, exist_ok=True)
+        tmp = f"{d}/.tmp-{uuid.uuid4().hex}"
+        final = f"{d}/v{snap['version']}.json"
+        with open(tmp, "w") as fh:
+            json.dump(snap, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, final)  # fails if the version already exists (CAS)
+        finally:
+            os.unlink(tmp)
+        return snap
 
     # ---- manifest (lineage + metrics) ------------------------------------
     def read_manifest(self, tier: str) -> DataFrame | None:
@@ -71,6 +156,31 @@ class AggregateStore:
             "p_month string, n_rows long, sum_n_seq long, wall_ms long, job_id string, completed_at double",
         )
         df.coalesce(1).write.mode("append").parquet(self.manifest_path(tier))
+
+    # ---- reads ------------------------------------------------------------
+    def read_tier(self, tier: str, months: list[str] | None = None) -> DataFrame:
+        """Resolve the tier through the current snapshot. ``months`` prunes
+        at the METADATA level — unselected partitions never even enter the
+        plan (the snapshot is the partition index, like Iceberg manifests)."""
+        parts = self.current_snapshot(tier)["partitions"]
+        if months is not None:
+            parts = {m: d for m, d in parts.items() if m in months}
+        if not parts:
+            raise FileNotFoundError(f"tier {tier}: no committed partitions")
+        # group month dirs by their owning job dir so each read keeps the
+        # p_month partition column (basePath) and the plan stays small
+        by_job: dict[str, list[str]] = {}
+        for month, d in parts.items():
+            job_dir = os.path.dirname(d)
+            by_job.setdefault(job_dir, []).append(d)
+        frames = [
+            self.spark.read.option("basePath", job_dir).parquet(*sorted(dirs))
+            for job_dir, dirs in sorted(by_job.items())
+        ]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
 
     # ---- tier build with checkpoint/resume --------------------------------
     def build_tier(
@@ -115,10 +225,11 @@ class AggregateStore:
             pending = agg.filter(F.col("p_month").isin(list(todo)))
             # explicit repartition on the write-partition key: one shuffle,
             # each output partition written by few tasks (no small-file storm)
+            data_dir = self.data_path(tier, job_id)
             t0 = time.time()
             pending.repartition("p_month", "source").write.mode("overwrite").partitionBy(
                 "p_month"
-            ).parquet(self.tier_path(tier))
+            ).parquet(data_dir)
             wall_ms = int((time.time() - t0) * 1000)
 
             stats = (
@@ -128,6 +239,13 @@ class AggregateStore:
             )
         finally:
             agg.unpersist()
+        # visibility commit: one snapshot pointing the new months at this
+        # job's immutable directory — nothing referenced the files until now
+        self._commit_snapshot(
+            tier,
+            {m: f"{self.data_path(tier, job_id)}/p_month={m}" for m in sorted(todo)},
+            job_id,
+        )
         now = time.time()
         self._log(
             tier,
@@ -145,9 +263,6 @@ class AggregateStore:
         )
         return len(todo)
 
-    def read_tier(self, tier: str) -> DataFrame:
-        return self.spark.read.parquet(self.tier_path(tier))
-
     def build_all(self, raw: DataFrame, tiers: list[str] | None = None) -> dict[str, int]:
         """Full cascade with resume at every tier."""
         tiers = tiers or TIER_CHAIN
@@ -160,112 +275,103 @@ class AggregateStore:
         return built
 
     # ---- incremental maintenance (continuous aggregates) ------------------
-    def staging_path(self, tier: str, job_id: str) -> str:
-        return f"{self.root}/staging/{tier}/{job_id}"
-
     def incremental_update(self, tier: str, new_raw: DataFrame, job_id: str | None = None) -> list[str]:
         """Merge NEW raw rows into one tier without touching unaffected
         partitions: aggregate the delta, union it with the existing rows of
         the affected months, recombine algebraically (sum/count/min/max
-        compose — same property the cascade relies on), and swap only those
-        month partitions. This is incremental materialized-view maintenance;
-        with Iceberg the write would be a MERGE INTO.
+        compose — same property the cascade relies on), and point the
+        snapshot at the merged months. This is incremental materialized-view
+        maintenance; with Iceberg the write would be a MERGE INTO.
 
-        EXACTLY-ONCE protocol (single writer). The merged output is STAGED
-        to ``staging/<tier>/<job_id>`` before any tier partition is touched,
-        and a replay of the same job_id reconciles by phase:
+        EXACTLY-ONCE protocol (single writer), one atomic decision point:
 
-        1. job_id in the manifest            → fully committed: no-op;
-        2. staged output complete (_SUCCESS) → tier may be partially
-           swapped: REDO the swaps from the immutable staged copy (copy is
-           idempotent), then commit the manifest — never recompute from a
-           possibly-already-merged tier (the round-1 double-merge bug);
-        3. otherwise                         → tier is untouched by this
-           job: recompute the stage from scratch.
+        1. job_id already committed a snapshot → fully visible; a replay
+           only reconciles the manifest (idempotent) and returns;
+        2. otherwise the tier still reads as the PRE-merge state (data files
+           are immutable, readers resolve through the snapshot), so a replay
+           after ANY crash simply recomputes the merge from scratch and
+           commits — the round-1 double-merge window cannot exist because no
+           partially-swapped state is ever visible.
 
-        The manifest append is the commit point; staging is cleaned after.
-        Iceberg's atomic snapshot commit collapses phases 2-3 away.
+        Crash AFTER the snapshot commit leaves at most an unreferenced
+        half-logged manifest; the replay heals it. Unreferenced data from
+        pre-commit crashes is collected by :meth:`gc`.
 
-        Returns the list of refreshed months.
+        Returns the list of refreshed months (empty on a committed replay).
         """
-        import uuid as _uuid
-
-        job_id = job_id or _uuid.uuid4().hex[:12]
+        job_id = job_id or uuid.uuid4().hex[:12]
         # phase 1: a retried micro-batch (same job_id, e.g. streaming
-        # batchId) that already committed must not double-merge its delta
-        m = self.read_manifest(tier)
-        if m is not None and m.filter(F.col("job_id") == job_id).limit(1).count() > 0:
+        # batchId) that already committed must not double-merge its delta.
+        # The SNAPSHOT log is the commit record; the manifest may lag a
+        # crash by one step and is reconciled here.
+        if job_id in self.committed_job_ids(tier):
+            m = self.read_manifest(tier)
+            logged = (
+                m is not None
+                and m.filter(F.col("job_id") == job_id).limit(1).count() > 0
+            )
+            if not logged:
+                self._log_job_from_data(tier, job_id)
             return []
 
-        staging = self.staging_path(tier, job_id)
-        marker = os.path.join(staging, "_STAGED_OK")
-        staged_ok = os.path.exists(marker)
-        if not staged_ok:
-            # phase 3: tier untouched by this job — build the stage
-            if os.path.exists(staging):
-                shutil.rmtree(staging)  # half-written stage from a crash
-            delta = rollup_from_raw(new_raw, tier).withColumn(
+        # phase 2: tier is untouched by this job (nothing references any
+        # half-written files) — compute the merge from the live snapshot
+        delta = rollup_from_raw(new_raw, tier).withColumn(
+            "p_month", F.date_format("bucket", "yyyy-MM")
+        )
+        acc = ["n_seq", "sum_n_tok", "min_n_tok", "max_n_tok",
+               "tok_sum", "tok_min", "tok_max", "qc_ok_cnt"]
+        cols = ["source", "bucket", *acc, "avg_n_tok", "qc_frac", "p_month"]
+        delta = delta.select(*cols).persist()
+        try:
+            months = sorted(
+                r["p_month"] for r in delta.select("p_month").distinct().collect()
+            )
+            if not months:
+                return []
+            try:
+                existing = self.read_tier(tier, months=months)
+                merged_src = existing.select(*cols).unionByName(delta)
+            except FileNotFoundError:
+                merged_src = delta  # first-ever write
+            merged = rollup_cascade(merged_src, tier).withColumn(
                 "p_month", F.date_format("bucket", "yyyy-MM")
             )
-            acc = ["n_seq", "sum_n_tok", "min_n_tok", "max_n_tok",
-                   "tok_sum", "tok_min", "tok_max", "qc_ok_cnt"]
-            cols = ["source", "bucket", *acc, "avg_n_tok", "qc_frac", "p_month"]
-            delta = delta.select(*cols).persist()
-            try:
-                months = [r["p_month"] for r in delta.select("p_month").distinct().collect()]
-                if not months:
-                    return []
-                try:
-                    existing = self.read_tier(tier).filter(F.col("p_month").isin(months))
-                    merged_src = existing.select(*cols).unionByName(delta)
-                except Exception:
-                    merged_src = delta  # first-ever write
-                merged = rollup_cascade(merged_src, tier).withColumn(
-                    "p_month", F.date_format("bucket", "yyyy-MM")
-                )
-                # staging reads the live tier BEFORE anything is deleted, so
-                # no read-overwrite lineage conflict exists by construction
-                merged.repartition("p_month", "source").write.mode(
-                    "overwrite"
-                ).partitionBy("p_month").parquet(staging)
-                # marker = "stage complete, tier mutations may begin": its
-                # presence is what makes a replay REDO swaps instead of
-                # recomputing from a possibly-already-swapped tier
-                with open(marker, "w") as fh:
-                    fh.write(job_id)
-            finally:
-                delta.unpersist()
+            data_dir = self.data_path(tier, job_id)
+            # the merge READS the current snapshot's files and WRITES a new
+            # immutable directory — no read-overwrite conflict by construction
+            merged.repartition("p_month", "source").write.mode(
+                "overwrite"
+            ).partitionBy("p_month").parquet(data_dir)
+        finally:
+            delta.unpersist()
 
-        # phase 2 (also the tail of phase 3): swap staged month partitions
-        # into the tier from the immutable staged copy — idempotent on replay
-        months, stats = [], []
-        for entry in sorted(os.listdir(staging)):
-            if not entry.startswith("p_month="):
-                continue
-            months.append(entry.split("=", 1)[1])
-            dst = os.path.join(self.tier_path(tier), entry)
-            if os.path.exists(dst):
-                shutil.rmtree(dst)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            shutil.copytree(os.path.join(staging, entry), dst)
-        staged = self.spark.read.parquet(staging)
+        # the commit point: one snapshot retargets every merged month
+        self._commit_snapshot(
+            tier, {m: f"{data_dir}/p_month={m}" for m in months}, job_id
+        )
+        self._log_job_from_data(tier, job_id)
+        return months
+
+    def _log_job_from_data(self, tier: str, job_id: str) -> None:
+        """Append manifest rows for a committed job by reading its own
+        immutable data directory (idempotent source: replaying produces the
+        same rows; used both on the happy path and when healing a crash
+        between snapshot commit and manifest append)."""
+        data_dir = self.data_path(tier, job_id)
         stats = (
-            staged.groupBy("p_month")
+            self.spark.read.parquet(data_dir)
+            .groupBy("p_month")
             .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("n_seq").alias("sum_n_seq"))
             .collect()
         )
-        import time as _time
-
-        now = _time.time()
-        # commit point: the manifest append marks the job done
+        now = time.time()
         self._log(tier, [
             {"p_month": r["p_month"], "n_rows": r["n_rows"],
              "sum_n_seq": r["sum_n_seq"], "wall_ms": 0, "job_id": job_id,
              "completed_at": now}
             for r in stats
         ])
-        shutil.rmtree(staging, ignore_errors=True)
-        return sorted(months)
 
     # ---- verification + retention ----------------------------------------
     def verify_cascade(self, finer: str, coarser: str) -> DataFrame:
@@ -293,21 +399,49 @@ class AggregateStore:
     ) -> list[str]:
         """Drop this tier's month-partitions strictly before
         ``keep_months_after`` (yyyy-MM), but ONLY those whose coarser rollup
-        verified. Partition-level delete — the Iceberg equivalent is a
-        metadata-only ``DELETE WHERE p_month < ...``."""
+        verified. METADATA-ONLY: one snapshot commit without the expired
+        months (Iceberg's ``DELETE WHERE p_month < ...``); the data files
+        become unreferenced and are physically removed by :meth:`gc`."""
         verified = {
             r["p_month"]
             for r in self.verify_cascade(tier, coarser).filter("ok").collect()
         }
-        dropped = []
-        base = self.tier_path(tier)
-        if not os.path.exists(base):
-            return dropped
-        for entry in sorted(os.listdir(base)):
-            if not entry.startswith("p_month="):
-                continue
-            month = entry.split("=", 1)[1]
-            if month < keep_months_after and month in verified:
-                shutil.rmtree(os.path.join(base, entry))
-                dropped.append(month)
+        current = self.current_snapshot(tier)["partitions"]
+        dropped = sorted(
+            m for m in current if m < keep_months_after and m in verified
+        )
+        if dropped:
+            self._commit_snapshot(
+                tier, {m: None for m in dropped}, f"retention-{uuid.uuid4().hex[:8]}"
+            )
         return dropped
+
+    def gc(self, tier: str, keep_snapshots: int = 1) -> list[str]:
+        """Physically delete data directories no snapshot in the retained
+        window references (expired retention drops, superseded merges,
+        pre-commit crash leftovers), then expire old snapshot files. The
+        ONLY place files are deleted — never on the commit path. Returns the
+        removed month-directories."""
+        versions = self._snapshot_versions(tier)
+        keep_versions = versions[-keep_snapshots:] if versions else []
+        live: set[str] = set()
+        for v in keep_versions:
+            with open(f"{self.snapshots_path(tier)}/v{v}.json") as fh:
+                live.update(json.load(fh)["partitions"].values())
+        removed = []
+        base = f"{self.root}/data/{tier}"
+        if os.path.isdir(base):
+            for job in sorted(os.listdir(base)):
+                job_dir = f"{base}/{job}"
+                for entry in sorted(os.listdir(job_dir)):
+                    if not entry.startswith("p_month="):
+                        continue
+                    d = f"{job_dir}/{entry}"
+                    if d not in live:
+                        shutil.rmtree(d)
+                        removed.append(d)
+                if not any(e.startswith("p_month=") for e in os.listdir(job_dir)):
+                    shutil.rmtree(job_dir)
+        for v in versions[:-keep_snapshots] if keep_snapshots else versions:
+            os.unlink(f"{self.snapshots_path(tier)}/v{v}.json")
+        return removed

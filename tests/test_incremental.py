@@ -91,10 +91,13 @@ def test_windowed_counts_stream_plan(spark, tmp_path):
     assert got == 500
 
 
-def test_incremental_replay_after_crash_before_commit(spark, split_data, tmp_path, monkeypatch):
-    """Crash AFTER the partition swap but BEFORE the manifest append (the
-    round-1 double-merge window): the replayed job must reconcile from the
-    staged copy, not re-merge the delta into already-merged data."""
+def test_incremental_replay_after_crash_between_pointer_and_cleanup(
+    spark, split_data, tmp_path, monkeypatch
+):
+    """Crash AFTER the snapshot (pointer) commit but BEFORE the manifest
+    append: the merge is already fully VISIBLE, so the replay must detect
+    the committed job via the snapshot log, heal the missing manifest rows,
+    and never re-merge the delta (the round-1 double-merge window)."""
     full, first, delta = split_data
     store = AggregateStore(spark, str(tmp_path / "inc3"))
     store.build_tier("1h", first)
@@ -106,46 +109,58 @@ def test_incremental_replay_after_crash_before_commit(spark, split_data, tmp_pat
     def crashing_log(self, tier, rows):
         calls["n"] += 1
         if calls["n"] == 1:
-            raise RuntimeError("simulated crash before manifest commit")
+            raise RuntimeError("simulated crash between pointer and cleanup")
         return real_log(self, tier, rows)
 
     monkeypatch.setattr(AggregateStore, "_log", crashing_log)
     with pytest.raises(RuntimeError):
         store.incremental_update("1h", delta, job_id="batch-9")
-    # data already merged, manifest missing -> replay must NOT double-merge
-    months = store.incremental_update("1h", delta, job_id="batch-9")
-    assert months  # reconciled and committed this time
+    # the pointer committed -> the merge is already visible
     assert _rows(store.read_tier("1h")) == want
-    # and a further replay is a committed no-op
+    # replay: committed no-op that heals the manifest, never a re-merge
+    assert store.incremental_update("1h", delta, job_id="batch-9") == []
+    assert _rows(store.read_tier("1h")) == want
+    m = store.read_manifest("1h")
+    assert m.filter(F.col("job_id") == "batch-9").count() > 0  # healed
+    # and a further replay stays a no-op
     assert store.incremental_update("1h", delta, job_id="batch-9") == []
     assert _rows(store.read_tier("1h")) == want
 
 
-def test_incremental_replay_after_crash_mid_swap(spark, split_data, tmp_path, monkeypatch):
-    """Crash during the partition swaps (some months swapped, some not):
-    replay redoes every swap from the immutable staged copy."""
-    import shutil as _sh
-
+def test_incremental_crash_before_pointer_commit_is_invisible(
+    spark, split_data, tmp_path, monkeypatch
+):
+    """Crash BEFORE the snapshot commit (data files written, pointer not):
+    the tier must still read as the PRE-merge state — half-written work is
+    unreferenced by construction — and the replay recomputes and commits.
+    gc() then collects the crashed job's orphaned files."""
     full, first, delta = split_data
     store = AggregateStore(spark, str(tmp_path / "inc4"))
     store.build_tier("1h", first)
+    before = _rows(store.read_tier("1h"))
     want = _rows(rollup_from_raw(full, "1h"))
 
-    real_copy = _sh.copytree
+    real_commit = AggregateStore._commit_snapshot
     calls = {"n": 0}
 
-    def crashing_copy(src, dst, **kw):
+    def crashing_commit(self, tier, updates, job_id):
         calls["n"] += 1
-        if calls["n"] == 2:  # let the first month through, then die
-            raise RuntimeError("simulated crash mid-swap")
-        return real_copy(src, dst, **kw)
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash before pointer commit")
+        return real_commit(self, tier, updates, job_id)
 
-    monkeypatch.setattr("ingestr_spark.retention.shutil.copytree", crashing_copy)
+    monkeypatch.setattr(AggregateStore, "_commit_snapshot", crashing_commit)
     with pytest.raises(RuntimeError):
         store.incremental_update("1h", delta, job_id="batch-10")
-    monkeypatch.setattr("ingestr_spark.retention.shutil.copytree", real_copy)
+    # nothing referenced the crashed job's files: reads see the old state
+    assert _rows(store.read_tier("1h")) == before
     months = store.incremental_update("1h", delta, job_id="batch-10")
     assert months
+    assert _rows(store.read_tier("1h")) == want
+    # gc collects the superseded pre-merge partitions (the replay reused and
+    # overwrote its own never-referenced crashed dir) and reads stay correct
+    removed = store.gc("1h")
+    assert removed
     assert _rows(store.read_tier("1h")) == want
 
 

@@ -56,8 +56,52 @@ def test_retention_drops_only_verified_old_months(store):
     cutoff = months[len(months) // 2]
     dropped = store.apply_retention("1h", "1d", cutoff)
     assert dropped == [m for m in months if m < cutoff]
-    base = store.tier_path("1h")
-    left = {e.split("=")[1] for e in os.listdir(base) if e.startswith("p_month=")}
+    # the drop is METADATA-ONLY: the snapshot no longer references the
+    # expired months, but their immutable files still exist until gc()
+    left = set(store.current_snapshot("1h")["partitions"])
     assert left == {m for m in months if m >= cutoff}
+    base = f"{store.root}/data/1h"
+    on_disk = {
+        e.split("=", 1)[1]
+        for job in os.listdir(base)
+        for e in os.listdir(f"{base}/{job}")
+        if e.startswith("p_month=")
+    }
+    assert on_disk == set(months)  # files for dropped months still exist
+    removed = store.gc("1h")
+    assert sorted(d.split("p_month=")[1] for d in removed) == dropped
+    assert not any(os.path.isdir(d) for d in removed)
+    # the retained months still read fine after gc
+    got = {r["p_month"] for r in store.read_tier("1h")
+           .select(F.date_format("bucket", "yyyy-MM").alias("p_month"))
+           .distinct().collect()}
+    assert got == left
     # coarser tier untouched
     assert store.read_tier("1d").count() > 0
+
+
+def test_commit_is_snapshot_only_no_inplace_mutation(spark, tok, tmp_path):
+    """Object-store safety: committing new work never mutates or deletes an
+    existing file — it only ADDS data files and ONE new snapshot version.
+    (gc is the only deleter and runs separately.)"""
+    s = AggregateStore(spark, str(tmp_path / "store3"))
+    s.build_tier("1h", tok)
+
+    def walk(root):
+        # the table itself = data files + snapshots (the manifest is an
+        # append-only lineage log, a separate medium)
+        out = {}
+        for sub in ("data", "snapshots"):
+            for dirpath, _, files in os.walk(f"{root}/{sub}"):
+                for f in files:
+                    p = os.path.join(dirpath, f)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = walk(s.root)
+    s.incremental_update("1h", tok.limit(50))
+    after = walk(s.root)
+    assert set(before) <= set(after)          # nothing deleted
+    for p, mtime in before.items():
+        assert after[p] == mtime, f"mutated: {p}"  # nothing rewritten
+    assert s.current_snapshot("1h")["version"] == 2
