@@ -133,13 +133,26 @@ def ingest(
         out = spine.withColumn("fapar", F.lit(1.0))
     else:
         if source == "fluxnet":
-            frames = [
-                read_fluxnet_csv(
-                    # S2 conflict rule: largest matching file wins
-                    spark, resolve_fluxnet_file(dir, s, timescale), timescale, sitename=s
-                )
-                for s in sites
-            ]
+            # S2 conflict rule (largest matching file wins) stays a
+            # driver-side CATALOG pass; the data read is ONE multi-path scan
+            # with input_file_name()→sitename — one FileScan for N sites,
+            # not N unioned per-site reads (plan size stayed O(sites) before)
+            import os as _os
+
+            files = {s: resolve_fluxnet_file(dir, s, timescale) for s in sites}
+            by_base = {_os.path.basename(p): s for s, p in files.items()}
+            if len(by_base) == len(files):
+                frames = [
+                    read_fluxnet_csv(
+                        spark, sorted(files.values()), timescale,
+                        site_by_file=by_base,
+                    )
+                ]
+            else:  # basename collision across dirs: fall back to per-site
+                frames = [
+                    read_fluxnet_csv(spark, files[s], timescale, sitename=s)
+                    for s in sites
+                ]
         elif source == "csv":
             frames = [
                 read_fluxnet_csv(spark, f"{dir}", timescale, sitename=s) for s in sites

@@ -123,24 +123,87 @@ def reconstruct_hourly_timestamps(
     )
 
 
+#: one calendar-ish month per task (same bound as operators/asof.py)
+SESSIONIZE_CHUNK_SECONDS = 30 * 86400
+
+
 def sessionize(
     df: DataFrame,
     key_col: str = "user_id",
     ts_col: str = "ts",
     gap_seconds: int = 1800,
     tiebreak_col: str | None = None,
+    chunk_seconds: int | None = SESSIONIZE_CHUNK_SECONDS,
 ) -> DataFrame:
     """Gap-based sessionization (session-window analog of §2.10): a new
     session starts when the gap to the previous event exceeds
     ``gap_seconds``. session_idx = running count of session starts per key —
-    two window passes, no UDF, deterministic."""
-    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
-    w = Window.partitionBy(key_col).orderBy(*order)
+    window passes only, no UDF, deterministic.
+
+    DEFAULT is the CHUNKED plan (the asof.py (key, time-chunk)+carry shape):
+    a bare-key window pins every event of a bot-like hot user to one task,
+    so rows are windowed per (key, chunk) and the cross-chunk state — the
+    previous chunk's last timestamp (decides whether a chunk's first event
+    starts a session) and the cumulative start count (the session_idx base)
+    — is carried on a per-(key, chunk) SUMMARY table, one row per key ×
+    chunk, bounded by the calendar. ``chunk_seconds=None`` selects the
+    single-window plan (fine for bounded per-key inputs)."""
+    order_tail = [tiebreak_col] if tiebreak_col else []
     # cast via timestamp: NTZ columns don't cast to long directly
     epoch = F.col(ts_col).cast("timestamp").cast("long")
-    gap = epoch - F.lag(epoch).over(w)
-    is_start = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
-    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return df.withColumn("_start", is_start).withColumn(
-        "session_idx", F.sum("_start").over(wrun)
-    ).drop("_start")
+    if chunk_seconds is None:
+        w = Window.partitionBy(key_col).orderBy(ts_col, *order_tail)
+        gap = epoch - F.lag(epoch).over(w)
+        is_start = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+        wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return df.withColumn("_start", is_start).withColumn(
+            "session_idx", F.sum("_start").over(wrun)
+        ).drop("_start")
+
+    cs = int(chunk_seconds)
+    d = df.withColumn("_t", epoch).withColumn(
+        "_chunk", F.floor(F.col("_t") / cs).cast("long")
+    )
+    # local pass: every window keys on (key, chunk) — max task = one chunk
+    wloc = Window.partitionBy(key_col, "_chunk").orderBy("_t", *order_tail)
+    gap = F.col("_t") - F.lag("_t").over(wloc)
+    d = d.withColumn("_rn", F.row_number().over(wloc)).withColumn(
+        "_int_start",
+        F.when((F.col("_rn") > 1) & (gap > gap_seconds), 1).otherwise(0),
+    )
+    # summary: one row per (key, chunk); the bare-key window here runs over
+    # summaries (calendar-bounded), never over events
+    summ = d.groupBy(key_col, "_chunk").agg(
+        F.min("_t").alias("_first_t"),
+        F.max("_t").alias("_last_t"),
+        F.sum("_int_start").alias("_n_int"),
+    )
+    wsum = Window.partitionBy(key_col).orderBy("_chunk")
+    prev_last = F.lag("_last_t").over(wsum)
+    summ = summ.withColumn(
+        "_first_start",
+        F.when(
+            prev_last.isNull() | ((F.col("_first_t") - prev_last) > gap_seconds), 1
+        ).otherwise(0),
+    )
+    wcum = wsum.rowsBetween(Window.unboundedPreceding, -1)
+    summ = summ.withColumn(
+        "_base",
+        F.coalesce(
+            F.sum(F.col("_n_int") + F.col("_first_start")).over(wcum), F.lit(0)
+        ),
+    )
+    # join the carried state back on (key, chunk) — co-partitioned with the
+    # local pass; NOT broadcast (keys × chunks can be huge at corpus scale)
+    d = d.join(
+        summ.select(key_col, "_chunk", "_first_start", "_base"),
+        [key_col, "_chunk"],
+    )
+    start_flag = F.when(
+        F.col("_rn") == 1, F.col("_first_start")
+    ).otherwise(F.col("_int_start"))
+    wrun = wloc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = d.withColumn("_sf", start_flag).withColumn(
+        "session_idx", F.col("_base") + F.sum("_sf").over(wrun)
+    )
+    return d.drop("_t", "_chunk", "_rn", "_int_start", "_first_start", "_base", "_sf")

@@ -34,17 +34,25 @@ NA_STRINGS = ["", "NA", "-9999", "-9999.0"]
 
 def read_fluxnet_csv(
     spark: SparkSession,
-    path: str,
+    path: str | list[str],
     freq: str = "d",
     sitename: str | None = None,
+    site_by_file: dict[str, str] | None = None,
 ) -> DataFrame:
-    """Scan FLUXNET CSV(s) (glob ok) and normalize the time column(s) to a
-    proper ``date`` (+ ``ts_start``/``ts_end`` for w/hh)."""
+    """Scan FLUXNET CSV(s) (glob or path list ok) and normalize the time
+    column(s) to a proper ``date`` (+ ``ts_start``/``ts_end`` for w/hh).
+
+    ``site_by_file`` maps file BASENAME → sitename and turns a multi-site
+    read into ONE FileScan: the site column is recovered from
+    ``input_file_name()`` through a literal map, so N sites cost one job
+    and one plan node instead of N unioned scans (the driver-side catalog
+    pass still applies the largest-file rule per site)."""
+    paths = path if isinstance(path, list) else [path]
     df = (
         spark.read.option("header", True)
         .option("nullValue", "-9999")
         .option("inferSchema", True)
-        .csv(path)
+        .csv(paths)
     )
     # the CSV option handles one sentinel pre-inference; map the rest:
     # string cols get the full sentinel list, and NUMERIC cols null -9999
@@ -86,7 +94,13 @@ def read_fluxnet_csv(
         )
     else:
         raise ValueError(f"unknown freq {freq!r}")
-    if sitename is not None:
+    if site_by_file is not None:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in sorted(site_by_file.items()) for x in kv]
+        )
+        base = F.element_at(F.split(F.input_file_name(), "/"), -1)
+        df = df.withColumn("sitename", mapping[base])
+    elif sitename is not None:
         df = df.withColumn("sitename", F.lit(sitename))
     return df
 

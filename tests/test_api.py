@@ -161,3 +161,22 @@ def test_collect_drivers_joins_fapar_co2_and_nests(spark):
     assert len(rows) == 1
     first = rows[0]["forcing"][0]
     assert first["fapar"] == 0.8 and first["co2"] == 415.0
+
+
+def test_ingest_multisite_single_filescan(spark, flx_dir):
+    """The N-site fluxnet read is ONE multi-path FileScan (site recovered
+    from input_file_name), not N unioned per-site scans."""
+    si = spark.createDataFrame(
+        [("AA-One", 2021, 2021), ("BB-Two", 2021, 2021)],
+        "sitename string, year_start int, year_end int",
+    )
+    out = ingest(spark, si, "fluxnet", {"TA_F": "temp"}, dir=flx_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan csv") == 1
+    # and the recovered site column is correct per file
+    per_site = {
+        r["sitename"]: r["n"]
+        for r in out.filter("temp IS NOT NULL").groupBy("sitename")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_site == {"AA-One": 31, "BB-Two": 31}

@@ -244,3 +244,41 @@ def test_wav_stats_distributed(spark):
     )
     rows = extract_wav_stats(bad).collect()
     assert len(rows) == 1 and rows[0]["decode_ok"] is False
+
+
+def test_sessionize_chunked_equals_unchunked(spark, sf_dir):
+    """The chunked (key, time-chunk)+carry sessionize plan is row-for-row
+    identical to the single-window plan, including sessions spanning chunk
+    edges (tiny chunk_seconds forces many boundaries)."""
+    from ingestr_spark.operators.tsutil import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def rows(df):
+        return sorted(
+            (r["event_id"], r["session_idx"])
+            for r in df.select("event_id", "session_idx").collect()
+        )
+
+    plain = sessionize(ev, "user_id", "ts", 1800, "event_id",
+                       chunk_seconds=None)
+    for cs in (3600, 7 * 86400):
+        chunked = sessionize(ev, "user_id", "ts", 1800, "event_id",
+                             chunk_seconds=cs)
+        assert rows(chunked) == rows(plain), cs
+
+
+def test_sessionize_windows_key_on_chunk(spark, sf_dir):
+    """Scale guard: the event-level windows partition on (user_id, _chunk),
+    never the bare hot key (bare-key windowing remains only on the
+    calendar-bounded summary table)."""
+    from ingestr_spark.operators.tsutil import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = sessionize(ev, "user_id", "ts")._jdf.queryExecution().executedPlan().toString()
+    import re
+    event_windows = [
+        l for l in plan.splitlines()
+        if "Window" in l and "_rn" in l  # the event-level local pass
+    ]
+    assert event_windows and all("_chunk" in l for l in event_windows)
