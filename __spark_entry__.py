@@ -71,15 +71,23 @@ def _union_tag(tag_col: str, frames: list[tuple[str, DataFrame]]) -> DataFrame:
 
 
 def q_rollup_tiers(spark, sf_dir):
-    """Direct-from-raw tiers 1h/1d/1w/1w_ref in one union (bucket as epoch
-    seconds so the hourly and daily grains share a schema). '1w_ref' is the
-    reference's lubridate::week 7-day-block definition
-    (R/get_obs_bysite_fluxnet.R:397-400), distinct from ISO '1w'."""
+    """Tiers 1h/1d/1w/1w_ref in one union (bucket as epoch seconds so the
+    hourly and daily grains share a schema). The PLAN is the scale-right
+    one: raw is scanned ONCE (the 1h rollup), and 1d/1w/1w_ref re-aggregate
+    algebraically from the finer tier — while the ORACLE computes every tier
+    directly from raw, so this also proves cascade==direct for all four
+    grains. '1w_ref' is the reference's lubridate::week 7-day-block
+    definition (R/get_obs_bysite_fluxnet.R:397-400), distinct from ISO
+    '1w'."""
     t = _tok(spark, sf_dir)
+    h1 = rollup_from_raw(t, "1h")
+    d1 = rollup_cascade(h1, "1d")
+    tiers = [("1h", h1), ("1d", d1),
+             ("1w", rollup_cascade(d1, "1w")),
+             ("1w_ref", rollup_cascade(d1, "1w_ref"))]
     return _union_tag("tier", [
-        (tier, _as_epoch_bucket(rollup_from_raw(t, tier)).select(
-            "source", "bucket_epoch", *TIER_OUT_COLS))
-        for tier in ("1h", "1d", "1w", "1w_ref")
+        (tag, _as_epoch_bucket(df).select("source", "bucket_epoch", *TIER_OUT_COLS))
+        for tag, df in tiers
     ])
 
 
