@@ -117,7 +117,8 @@ def q_rollup_cascades(spark, sf_dir):
     yr = _as_date_bucket(rollup_cascade(tiers["1mo"], "1y")).select(
         "source", "bucket", *TIER_OUT_COLS
     )
-    wk = _as_date_bucket(rollup_cascade(rollup_from_raw(t, "1d"), "1w")).select(
+    # weekly from the cascaded 1d tier: the whole query reads raw ONCE
+    wk = _as_date_bucket(rollup_cascade(tiers["1d"], "1w")).select(
         "source", "bucket", *TIER_OUT_COLS
     )
     return _union_tag("tier", [("1mo", mo), ("1y", yr), ("1w", wk)])

@@ -95,12 +95,15 @@ class _BitReader:
         self.pos = 0
 
     def read(self, bits: int) -> int:
-        out = 0
-        for _ in range(bits):
-            byte = self.data[self.pos >> 3]
-            out = (out << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
-            self.pos += 1
-        return out
+        """Read ``bits`` as one big-endian slice (one int.from_bytes per
+        call, not one loop iteration per bit — the per-bit version made
+        DECODE 4x slower than encode)."""
+        pos = self.pos
+        end = pos + bits
+        last = (end + 7) >> 3
+        chunk = int.from_bytes(self.data[pos >> 3:last], "big")
+        self.pos = end
+        return (chunk >> ((last << 3) - end)) & ((1 << bits) - 1)
 
 
 def _zigzag(v: int) -> int:
@@ -140,19 +143,17 @@ def encode_timestamps(ts: np.ndarray) -> bytes:
         dod = int(dods[i])
         # zigzag-symmetric ranges: zigzag(dod) must fit the field width
         # (zigzag(63)=126, zigzag(-64)=127 fit 7 bits; zigzag(64)=128 does
-        # not — the paper's asymmetric ranges assume offset, not zigzag)
+        # not — the paper's asymmetric ranges assume offset, not zigzag).
+        # Control prefix and payload are fused into ONE write call each
+        # (identical bitstream, half the Python call count).
         if -64 <= dod <= 63:
-            w.write(0b10, 2)
-            w.write(_zigzag(dod), 7)
+            w.write((0b10 << 7) | _zigzag(dod), 9)
         elif -256 <= dod <= 255:
-            w.write(0b110, 3)
-            w.write(_zigzag(dod), 9)
+            w.write((0b110 << 9) | _zigzag(dod), 12)
         elif -2048 <= dod <= 2047:
-            w.write(0b1110, 4)
-            w.write(_zigzag(dod), 12)
+            w.write((0b1110 << 12) | _zigzag(dod), 16)
         else:
-            w.write(0b1111, 4)
-            w.write(_zigzag(dod), 64)
+            w.write((0b1111 << 64) | _zigzag(dod), 68)
     if len(dods) > prev_end:
         w.write_zeros(len(dods) - prev_end)
     return w.getvalue()
@@ -230,15 +231,19 @@ def encode_values(vals: np.ndarray) -> bytes:
         trail = (x & -x).bit_length() - 1
         if lead > 31:  # 5-bit leading field cap (paper format)
             lead = 31
+        # control + fields + payload fused into one write per point
+        # (identical bitstream, ~3x fewer Python calls)
         if prev_lead <= 64 and lead >= prev_lead and trail >= (64 - prev_lead - prev_len):
-            w.write(0b10, 2)
-            w.write(x >> (64 - prev_lead - prev_len), prev_len)
+            w.write((0b10 << prev_len) | (x >> (64 - prev_lead - prev_len)),
+                    2 + prev_len)
         else:
             mlen = 64 - lead - trail
-            w.write(0b11, 2)
-            w.write(lead, 5)
-            w.write(mlen & 0x3F, 6)  # 64 encodes as 0 (paper trick)
-            w.write(x >> trail, mlen)
+            # 64 encodes as 0 in the 6-bit length field (paper trick)
+            w.write(
+                (((((0b11 << 5) | lead) << 6) | (mlen & 0x3F)) << mlen)
+                | (x >> trail),
+                13 + mlen,
+            )
             prev_lead, prev_len = lead, mlen
     if len(xors) > prev_end:
         w.write_zeros(len(xors) - prev_end)
