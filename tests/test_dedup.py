@@ -165,6 +165,20 @@ def test_embedding_near_dup_blocked_matches_all_block_counts(spark, sf_dir):
     assert len(ref) > 0
 
 
+def test_embedding_near_dup_numpy_kernel_bitequal_to_sql(spark, sf_dir):
+    """The Arrow block-GEMM kernel (default) and the pure-SQL HOF kernel
+    produce BIT-identical (pair, cosine) sets: int64 dots are exact either
+    way and the division mirrors the SQL operand order."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = {(r["id_a"], r["id_b"], r["cosine"])
+         for r in embedding_near_dup(emb, threshold=0.4, kernel="numpy",
+                                     n_blocks=5).collect()}
+    b = {(r["id_a"], r["id_b"], r["cosine"])
+         for r in embedding_near_dup(emb, threshold=0.4, kernel="sql",
+                                     n_blocks=5).collect()}
+    assert a == b and len(a) > 0
+
+
 def test_brute_force_topk_shape(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
