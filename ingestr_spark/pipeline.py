@@ -37,6 +37,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="write Gorilla/delta-of-delta packed copies of each tier")
     p.add_argument("--verify-codec", action="store_true",
                    help="decode the packed copies and assert bit-exact match")
+    p.add_argument("--gc", action="store_true",
+                   help="after retention, physically delete data files no "
+                        "retained snapshot references (expired drops, "
+                        "superseded merges, crash orphans)")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -75,11 +79,18 @@ def main(argv: list[str] | None = None) -> int:
     if args.retain_before and len(tiers) >= 2:
         dropped = store.apply_retention(tiers[0], tiers[1], args.retain_before)
 
+    gc_removed: dict[str, int] = {}
+    if args.gc:
+        for t in tiers:
+            gc_removed[t] = len(store.gc(t))
+
     report = {
         "built_partitions": built,
         "dropped_partitions": {tiers[0]: dropped} if dropped else {},
         "wall_sec": round(time.time() - t0, 2),
     }
+    if gc_removed:
+        report["gc_removed_dirs"] = gc_removed
     if codec_ok:
         report["codec_roundtrip_ok"] = codec_ok
     print(json.dumps(report))
