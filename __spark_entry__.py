@@ -609,6 +609,19 @@ def q_multimodal_real_wav(spark, sf_dir):
     return extract_wav_stats(media)
 
 
+def q_multimodal_real_ppm(spark, sf_dir):
+    """REAL image decode end-to-end: genuine binary PPM (P6) payloads are
+    written (multimodal.encode_ppm), shipped as binary columns, and parsed
+    back by the real Netpbm parser (multimodal.decode_ppm) inside a
+    mapInPandas batch; the oracle recomputes the exact per-channel integer
+    statistics from the generative pixel formula."""
+    from ingestr_spark.operators.multimodal import extract_image_stats, synth_ppm_media
+
+    apply_engine_conf(spark)
+    media = synth_ppm_media(spark, 500)
+    return extract_image_stats(media)
+
+
 def q_gapfill_locf_1mo(spark, sf_dir):
     """Monthly tier (15th-anchored) LOCF over a per-source monthly spine."""
     tier = (
@@ -1068,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_roundtrip_1d": q_codec_roundtrip_1d,
         "multimodal_features": q_multimodal_features,
         "multimodal_real_wav": q_multimodal_real_wav,
+        "multimodal_real_ppm": q_multimodal_real_ppm,
         "json_props_events": q_json_props_events,
         "sessions_events": q_sessions_events,
         "distinct_users_daily": q_distinct_users_daily,
@@ -1119,6 +1133,7 @@ def oracle_sql() -> dict[str, str]:
         "codec_roundtrip_1d": oracles.CODEC_ROUNDTRIP_1D,
         "multimodal_features": oracles.MULTIMODAL_FEATURES,
         "multimodal_real_wav": oracles.MULTIMODAL_REAL_WAV,
+        "multimodal_real_ppm": oracles.MULTIMODAL_REAL_PPM,
         "json_props_events": oracles.JSON_PROPS_EVENTS,
         "sessions_events": oracles.SESSIONS_EVENTS,
         "distinct_users_daily": oracles.DISTINCT_USERS_DAILY,

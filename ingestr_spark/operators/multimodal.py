@@ -8,13 +8,20 @@ is a deterministic stand-in (byte-statistics pseudo-features) and
 ``decoder="real"`` raises ``NotImplementedError`` where the library call
 would go. Swapping in a real decoder changes ONE function body, no plumbing.
 
-One format IS genuinely real: WAV/PCM16 needs no external library, so
-:func:`encode_wav_pcm16` / :func:`decode_wav` implement the RIFF container
-byte-for-byte (header parse, chunk walk, sample extraction) and
-:func:`extract_wav_stats` runs the real decode distributed via mapInPandas.
-The driver oracle recomputes the same statistics from the generative sample
-formula in DuckDB — writer → bytes → parser → stats is hash-checked
-end-to-end.
+Two formats ARE genuinely real (no external library needed):
+
+* audio — WAV/PCM16: :func:`encode_wav_pcm16` / :func:`decode_wav`
+  implement the RIFF container byte-for-byte (header parse, chunk walk,
+  sample extraction); :func:`extract_wav_stats` runs the decode
+  distributed via mapInPandas;
+* image — PPM (P6): :func:`encode_ppm` / :func:`decode_ppm` implement the
+  Netpbm binary format (comment-tolerant header, raw RGB raster);
+  :func:`extract_image_stats` is the distributed decode.
+
+For both, the driver oracle recomputes the exact integer statistics from
+the generative payload formula in DuckDB — writer → bytes → parser → stats
+is hash-checked end-to-end; only genuinely library-bound codecs (JPEG,
+MP4, ...) remain stubbed.
 """
 
 from __future__ import annotations
@@ -85,7 +92,8 @@ def extract_features(
                 raise NotImplementedError(
                     "compressed image/video decode libraries are not "
                     "available in this environment; use decoder='fake', or "
-                    "extract_wav_stats() for real WAV/PCM16 audio"
+                    "the REAL uncompressed decoders: extract_wav_stats() "
+                    "(WAV/PCM16 audio) and extract_image_stats() (PPM images)"
                 )
             feats = [
                 _fake_decode(bytes(p)).tolist() for p in pdf["payload"]
@@ -241,6 +249,131 @@ def extract_wav_stats(df: DataFrame) -> DataFrame:
                 except ValueError:
                     rows.append((mid, None, None, None, None, None,
                                  None, None, None, None, False))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, out_schema)
+
+
+# ---- real PPM (P6) image decode (no external libs needed) --------------------
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Minimal binary PPM (P6) writer: pixels is (H, W, 3) uint8."""
+    h, w, c = pixels.shape
+    if c != 3:
+        raise ValueError("PPM is RGB (H, W, 3)")
+    return f"P6\n{w} {h}\n255\n".encode() + np.ascontiguousarray(
+        pixels, dtype=np.uint8
+    ).tobytes()
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Real PPM (P6) parser: whitespace- and comment-tolerant header
+    (magic, width, height, maxval per the Netpbm spec), then the raw RGB
+    plane. Raises ValueError on malformed input."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated PPM header")
+        ch = payload[pos:pos + 1]
+        if ch == b"#":  # comment to end of line
+            nl = payload.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("unterminated PPM comment")
+            pos = nl + 1
+        elif ch.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end:end + 1].isspace():
+                end += 1
+            tok = payload[pos:end]
+            if not tok.isdigit():
+                raise ValueError(f"bad PPM header token {tok!r}")
+            fields.append(int(tok))
+            pos = end
+    pos += 1  # single whitespace after maxval, then raster
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    need = w * h * 3
+    raster = payload[pos:pos + need]
+    if len(raster) != need:
+        raise ValueError("truncated PPM raster")
+    return {
+        "width": w,
+        "height": h,
+        "maxval": maxval,
+        "pixels": np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3),
+    }
+
+
+def synth_ppm_media(spark, n_rows: int) -> DataFrame:
+    """Deterministic PPM corpus: row r is a (6 + (r%3)*4) x (8 + (r%4)*4)
+    RGB image with pixel (y, x, c) = (r*31 + (y*w + x)*7 + c*11) % 256.
+    Payloads are REAL P6 files written by :func:`encode_ppm`."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid in pdf["id"]:
+                rid = int(rid)
+                w = 8 + (rid % 4) * 4
+                h = 6 + (rid % 3) * 4
+                i = np.arange(w * h * 3, dtype=np.int64)
+                # i = (y*w + x)*3 + c  ->  pixel index (y*w+x) = i // 3, c = i % 3
+                px = ((rid * 31 + (i // 3) * 7 + (i % 3) * 11) % 256).astype(np.uint8)
+                rows.append((
+                    f"m-{rid:09d}", "image",
+                    encode_ppm(px.reshape(h, w, 3)),
+                ))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+    return spark.range(n_rows).mapInPandas(gen, out_schema)
+
+
+def extract_image_stats(df: DataFrame) -> DataFrame:
+    """REAL image feature extraction over PPM payloads: parse the header +
+    raster per row inside a mapInPandas batch and emit exact integer
+    statistics (per-channel sums in int64 — order/engine-independent).
+    Unparseable payloads yield decode_ok=false, not a task failure."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_px", T.IntegerType()),
+        T.StructField("r_sum", T.LongType()),
+        T.StructField("g_sum", T.LongType()),
+        T.StructField("b_sum", T.LongType()),
+        T.StructField("px_min", T.IntegerType()),
+        T.StructField("px_max", T.IntegerType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ])
+    cols = [f.name for f in out_schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    d = decode_ppm(bytes(p))
+                    px = d["pixels"].astype(np.int64)
+                    sums = px.sum(axis=(0, 1))
+                    rows.append((
+                        mid, d["width"], d["height"],
+                        d["width"] * d["height"],
+                        int(sums[0]), int(sums[1]), int(sums[2]),
+                        int(px.min()), int(px.max()), True,
+                    ))
+                except ValueError:
+                    rows.append((mid, None, None, None, None, None, None,
+                                 None, None, False))
             yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(run, out_schema)

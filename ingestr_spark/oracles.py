@@ -2505,3 +2505,36 @@ SELECT printf('m-%09d', rid) AS media_id,
   TRUE AS decode_ok
 FROM v GROUP BY rid, n
 """
+
+
+# ---- REAL PPM (P6) image decode oracle ----------------------------------------
+# Spark writes genuine binary PPM payloads (multimodal.synth_ppm_media) and
+# parses them back with the real Netpbm parser (multimodal.decode_ppm via
+# extract_image_stats); the oracle recomputes the exact per-channel integer
+# statistics from the generative pixel formula
+# (r*31 + pixel_index*7 + channel*11) % 256. All-integer outputs.
+MULTIMODAL_REAL_PPM = """
+WITH m AS (
+  SELECT CAST(r.range AS BIGINT) AS rid,
+         CAST(8 + (r.range % 4) * 4 AS BIGINT) AS w,
+         CAST(6 + (r.range % 3) * 4 AS BIGINT) AS h
+  FROM range(500) r
+),
+x AS (SELECT rid, w, h, unnest(range(w * h * 3)) AS i FROM m),
+v AS (
+  SELECT rid, w, h, CAST(i % 3 AS INT) AS c,
+         (rid * 31 + (i // 3) * 7 + (i % 3) * 11) % 256 AS px
+  FROM x
+)
+SELECT printf('m-%09d', rid) AS media_id,
+  CAST(w AS INT) AS width,
+  CAST(h AS INT) AS height,
+  CAST(w * h AS INT) AS n_px,
+  CAST(SUM(CASE WHEN c = 0 THEN px END) AS BIGINT) AS r_sum,
+  CAST(SUM(CASE WHEN c = 1 THEN px END) AS BIGINT) AS g_sum,
+  CAST(SUM(CASE WHEN c = 2 THEN px END) AS BIGINT) AS b_sum,
+  CAST(MIN(px) AS INT) AS px_min,
+  CAST(MAX(px) AS INT) AS px_max,
+  TRUE AS decode_ok
+FROM v GROUP BY rid, w, h
+"""

@@ -282,3 +282,38 @@ def test_sessionize_windows_key_on_chunk(spark, sf_dir):
         if "Window" in l and "_rn" in l  # the event-level local pass
     ]
     assert event_windows and all("_chunk" in l for l in event_windows)
+
+
+def test_ppm_roundtrip_and_malformed():
+    import numpy as np
+    import pytest
+
+    from ingestr_spark.operators.multimodal import decode_ppm, encode_ppm
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    d = decode_ppm(encode_ppm(px))
+    assert d["width"] == 7 and d["height"] == 5 and (d["pixels"] == px).all()
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n7 5\n255\n" + px.tobytes())  # wrong magic
+    with pytest.raises(ValueError):
+        decode_ppm(encode_ppm(px)[:-4])  # truncated raster
+
+
+def test_ppm_stats_distributed(spark):
+    from ingestr_spark.operators.multimodal import (
+        extract_image_stats,
+        synth_ppm_media,
+    )
+
+    out = {r["media_id"]: r for r in
+           extract_image_stats(synth_ppm_media(spark, 12)).collect()}
+    assert len(out) == 12
+    r0 = out["m-000000000"]
+    # row 0: 8x6 image, pixel (y,x,c) = ((y*8+x)*7 + c*11) % 256
+    assert (r0["width"], r0["height"], r0["n_px"]) == (8, 6, 48)
+    import numpy as np
+    i = np.arange(48)
+    assert r0["r_sum"] == int(((i * 7) % 256).sum())
+    assert r0["g_sum"] == int(((i * 7 + 11) % 256).sum())
+    assert r0["decode_ok"]
