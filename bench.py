@@ -320,6 +320,14 @@ def write_bench_md(scaling: dict, queries: dict[str, float]) -> None:
         "",
         f"## Headline queries at {SF_DIR} (local[{CPUS}])",
         "",
+        "Round-3 rename (registry consolidated to fit the driver's ~50-query",
+        "correctness cap): rollup_tiers ⊃ r02's rollup_1d/1w (+1h/1w_ref);",
+        "rollup_cascades ⊃ rollup_1mo/1y_cascade; rollup_skew ⊃",
+        "rollup_1d_salted (+hot); gapfill_methods_1d ⊃ gapfill_locf/linear_1d",
+        "(+zero/lag2). Composites run MORE work than the r02 queries they",
+        "absorb, so walls are not comparable 1:1 round-over-round. The",
+        "dedup/ANN hot paths now carry timings (VERDICT r2 #9).",
+        "",
         "| query | sec |",
         "|---|---|",
     ]

@@ -53,13 +53,18 @@ def cross_pixel_mean(
 def depth_weighted_mean(
     df: DataFrame, var: str, depth_col: str, key_cols: list[str] | None = None,
 ) -> DataFrame:
-    """A11: sum(var · depth/total_depth) per key (soil profiles,
-    R/ingest_bysite.R:678-705; R/ingest_soilgrids.R:72-92)."""
+    """A11: depth-weighted mean per key = sum(var·depth)/sum(depth)
+    (soil profiles, R/ingest_bysite.R:678-705; R/ingest_soilgrids.R:72-92).
+    ONE map-side-combined aggregation — the earlier form windowed the
+    total depth over the bare key (whole-partition, one task per hot key)
+    and divided per row before summing; a single sum-ratio is the same
+    quantity with one less pass and no Window node."""
     key_cols = key_cols or ["sitename"]
-    w = Window.partitionBy(*key_cols)
-    z_tot = F.sum(depth_col).over(w)
-    weighted = df.withColumn("_wv", F.col(var) * F.col(depth_col) / z_tot)
-    return weighted.groupBy(*key_cols).agg(F.sum("_wv").alias(var))
+    out = df.groupBy(*key_cols).agg(
+        F.sum(F.col(var) * F.col(depth_col)).alias("_num"),
+        F.sum(depth_col).alias("_den"),
+    )
+    return out.withColumn(var, F.col("_num") / F.col("_den")).drop("_num", "_den")
 
 
 def completeness_audit(
