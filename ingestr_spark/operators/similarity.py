@@ -19,7 +19,7 @@ float64 pandas-UDF scorer is provided for benchmarking the Arrow path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SCALE = 10000
@@ -76,12 +76,20 @@ def brute_force_topk(
         id_col,
         _cosine("cq", "qq", "cq_nrm", "qq_nrm").alias("cosine"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    return _rank_topk(scored, query_id_col, id_col, k)
+
+
+def _rank_topk(scored: DataFrame, query_id_col: str, id_col: str, k: int) -> DataFrame:
+    """Per-query top-k via the TWO-PHASE partial-top-k (reshape.top_k_per_key):
+    a bare-query_id rank window puts every scored candidate of one query in
+    one task — for the brute-force path that is the whole corpus. The
+    two-phase form bounds tasks by input split and is exactly equal under
+    the total (cosine desc, id asc) order."""
+    from ingestr_spark.operators.reshape import top_k_per_key
+
+    return top_k_per_key(
+        scored, [query_id_col],
+        [F.col("cosine").desc(), F.col(id_col).asc()], k,
     )
 
 
@@ -245,10 +253,7 @@ def ivf_topk(
     scored = joined.select(
         query_id_col, id_col, _cosine("q", "qq", "nrm", "qq_nrm").alias("cosine")
     ).dropDuplicates([query_id_col, id_col])
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _rank_topk(scored, query_id_col, id_col, k)
 
 
 def lsh_topk(
@@ -280,7 +285,4 @@ def lsh_topk(
     scored = joined.select(
         query_id_col, id_col, _cosine("cq", "qq", "cq_nrm", "qq_nrm").alias("cosine")
     ).dropDuplicates([query_id_col, id_col])
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _rank_topk(scored, query_id_col, id_col, k)
