@@ -157,3 +157,28 @@ def windowed_counts_stream(
             "sum_n_tok", "min_n_tok", "max_n_tok",
         )
     )
+
+
+def session_counts_stream(
+    raw_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key: str = "user_id",
+) -> DataFrame:
+    """Native session windows (``F.session_window``) — the STREAMING form of
+    operators/tsutil.sessionize: a session closes when no event arrives for
+    ``gap``; with a watermark the state store evicts closed sessions, so
+    per-key state stays bounded no matter how long the stream runs
+    (append-mode-compatible: a session emits once finalized)."""
+    return (
+        raw_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("win"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key,
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )

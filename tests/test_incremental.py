@@ -274,3 +274,50 @@ def test_windowed_stream_drops_late_rows_past_watermark(spark, tmp_path):
     assert got["2024-01-01T10:00:00"] == (2, 3)   # late row NOT counted
     assert got["2024-01-01T13:00:00"] == (1, 3)
     assert "2024-01-01T20:00:00" not in got       # not yet finalized
+
+
+def test_session_window_stream_matches_batch_sessionize(spark, tmp_path):
+    """F.session_window streaming sessions == the batch sessionize operator:
+    same (user, session start, event count) triples once every session is
+    past the watermark."""
+    import datetime as dt
+
+    from ingestr_spark.operators.tsutil import sessionize
+    from ingestr_spark.streaming.jobs import session_counts_stream
+
+    inp = str(tmp_path / "sess_in")
+    ckpt = str(tmp_path / "sess_ckpt")
+    outp = str(tmp_path / "sess_out")
+    schema = "user_id bigint, ts timestamp"
+    t = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t), (1, t + dt.timedelta(minutes=10)),              # session A (2 ev)
+        (1, t + dt.timedelta(hours=2)),                          # session B (1 ev)
+        (2, t + dt.timedelta(minutes=5)),                        # session C (1 ev)
+        (2, t + dt.timedelta(hours=8)),                          # finalizer row
+        (1, t + dt.timedelta(hours=8)),
+    ]
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(inp)
+    stream = spark.readStream.schema(spark.read.parquet(inp).schema).parquet(inp)
+    q = (
+        session_counts_stream(stream, gap="30 minutes", watermark="1 hour")
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", outp).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {(r["user_id"], r["session_start"], r["n_events"])
+           for r in spark.read.parquet(outp).collect()}
+    # batch truth over the same rows (finalizer sessions not yet emitted by
+    # the stream — drop sessions whose last event is past the watermark)
+    batch = sessionize(
+        spark.createDataFrame(rows, schema), "user_id", "ts", 1800
+    )
+    per = {
+        (r["user_id"], r["start"], r["n"])
+        for r in batch.groupBy("user_id", "session_idx").agg(
+            F.min("ts").alias("start"), F.count(F.lit(1)).alias("n")
+        ).collect()
+        if r["start"] < t + dt.timedelta(hours=7)  # finalized sessions only
+    }
+    assert got == per and len(got) == 3
