@@ -392,6 +392,22 @@ def q_ann_topk_both(spark, sf_dir):
     return _union_tag("method", [("brute", brute), ("lsh", lsh)])
 
 
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF ANN (data-adaptive alternative to LSH): deterministic Lloyd
+    coarse quantizer + nprobe cells + exact rescore. The Lloyd iteration is
+    driver-orchestrated (not SQL-expressible), so this entry has NO
+    oracle_sql mirror — the driver records the weaker rows-only check;
+    determinism and recall-vs-brute are pytest-asserted (test_dedup)."""
+    from ingestr_spark.operators.similarity import ivf_topk
+
+    apply_engine_conf(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries_df, k=5, n_centroids=16, nprobe=4)
+
+
 def q_text_stats(spark, sf_dir):
     from ingestr_spark.functions import text as X
 
@@ -1070,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_pair": q_embedding_neardup_pair,
         "dedup_cluster_reps": q_dedup_cluster_reps,
         "ann_topk_both": q_ann_topk_both,
+        "ann_topk_ivf": q_ann_topk_ivf,  # rows-only: no SQL-expressible oracle
         "text_stats": q_text_stats,
         "bitqc_filter": q_bitqc_filter,
         "pivot_events_daily": q_pivot_events_daily,

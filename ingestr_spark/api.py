@@ -24,9 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ingestr_spark.sources.fluxnet import (
-    fluxnet_glob,
-    resolve_fluxnet_file,
     read_fluxnet_csv,
+    resolve_fluxnet_file,
     select_getvars,
 )
 from ingestr_spark.spine import anchor_month_15, noleap_filter
