@@ -501,26 +501,51 @@ def embedding_near_dup_lsh(
     10^9+ rows raise ``bits`` so band values stay selective (band width
     bits/bands sets bucket cardinality 2^(bits/bands)).
     """
-    from ingestr_spark.operators.similarity import sign_sketch_expr
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from ingestr_spark.operators.similarity import hyperplane_weights
 
     width = bits // bands
     dim = len(df.select(qvec_col).first()[0])  # bounded driver action
-    s = df.select(
-        F.col(id_col).alias("id"),
-        F.col(qvec_col).alias("q"),
-        F.aggregate(qvec_col, F.lit(0).cast("long"), lambda a, x: a + x * x).alias("nrm"),
-        F.expr(sign_sketch_expr(qvec_col, bits, dim)).alias("sk"),
-    )
-    # band value = the width-bit slice packed into an int
-    band_val = "aggregate(zip_with(slice(sk, band*{w}+1, {w}), sequence(0, {w1}), (b, j) -> shiftleft(b, j)), 0, (a, x) -> a + x)".format(
-        w=width, w1=width - 1
-    )
-    banded = s.select(
-        "id",
-        F.explode(F.expr(
-            f"transform(sequence(0, {bands - 1}), band -> struct(band, {band_val} AS val))"
-        )).alias("bv"),
-    ).select("id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    # Arrow-vectorized sketch kernel: all ``bits`` projections per row are
+    # one numpy int64 matmul against the literal weight matrix, packed into
+    # per-band values (bit p lands in band p//width with weight 1<<(p%width)
+    # — same integers as the DuckDB mirror). Expressing the projections in
+    # SQL re-derives the (expression-defined) quantized vector per
+    # projection through Catalyst project-collapsing — measured slower both
+    # as a sketch array (sliced per band: bands× re-expansion) and as
+    # direct band terms; the kernel also materializes (id, q, nrm, bands)
+    # once at the Python stage boundary for the joins downstream.
+    ws_np = np.array(hyperplane_weights(bits, dim), dtype=np.int64)
+    id_t = df.schema[id_col].dataType
+    s_schema = T.StructType([
+        T.StructField("id", id_t),
+        T.StructField("q", T.ArrayType(T.LongType())),
+        T.StructField("nrm", T.LongType()),
+        T.StructField("bv", T.ArrayType(T.IntegerType())),
+    ])
+
+    def sketch(batches):
+        for pdf in batches:
+            qm = np.array(pdf[qvec_col].tolist(), dtype=np.int64)
+            proj = qm @ ws_np.T                      # n×bits, exact int64
+            b01 = (proj > 0).astype(np.int64)
+            vals = np.zeros((len(qm), bands), dtype=np.int64)
+            for b in range(bands):
+                for j in range(width):
+                    vals[:, b] += b01[:, b * width + j] << j
+            yield pd.DataFrame({
+                "id": pdf[id_col],
+                "q": list(qm),
+                "nrm": (qm * qm).sum(axis=1),
+                "bv": list(vals.astype(np.int32)),
+            })
+
+    s = df.select(id_col, qvec_col).mapInPandas(sketch, s_schema)
+    banded = s.select("id", F.posexplode("bv").alias("band", "val"))
     if max_bucket_rows is not None:
         # NOT broadcast: one row per distinct (band, bucket) — corpus-scale
         # cardinality; the optimizer picks the join strategy from size.
