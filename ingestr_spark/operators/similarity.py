@@ -93,27 +93,9 @@ def _rank_topk(scored: DataFrame, query_id_col: str, id_col: str, k: int) -> Dat
     )
 
 
-def sign_sketch_expr(qvec_col: str, bits: int, dim: int) -> str:
-    """SQL expression: array<int> of ``bits`` sign bits (1 if the projection
-    of the pre-quantized bigint vector onto hyperplane p is > 0). The
-    hyperplane weights are data-independent, so they are embedded as literal
-    arrays — one small zip_with dot product per bit (generating the weight
-    arithmetic per element instead puts O(bits·dim) interpreted lambda terms
-    in the row hot path; lambda bodies block subexpression elimination)."""
-    terms = []
-    for row in hyperplane_weights(bits, dim):
-        wlit = "array(" + ", ".join(f"{w}L" for w in row) + ")"
-        proj = (
-            f"aggregate(zip_with({qvec_col}, {wlit}, (x, w) -> x * w), "
-            f"CAST(0 AS BIGINT), (a, x) -> a + x)"
-        )
-        terms.append(f"CASE WHEN {proj} > 0 THEN 1 ELSE 0 END")
-    return "array(" + ", ".join(terms) + ")"
-
-
 def hyperplane_weights(bits: int, dim: int) -> list[list[int]]:
     """The deterministic hyperplane weight matrix w[p][d] (same quadratic
-    index mix as :func:`sign_sketch_expr` / the DuckDB oracle)."""
+    index mix as the DuckDB oracle mirrors)."""
     out = []
     for p in range(bits):
         row = []
