@@ -421,7 +421,16 @@ class AggregateStore:
         window references (expired retention drops, superseded merges,
         pre-commit crash leftovers), then expire old snapshot files. The
         ONLY place files are deleted — never on the commit path. Returns the
-        removed month-directories."""
+        removed month-directories.
+
+        Expiring snapshots also forgets their job_ids, so a replay of a job
+        OLDER than the retained snapshot window is no longer detected as
+        committed (Iceberg's expire_snapshots has the same property) — run
+        gc only after the upstream's replay horizon (e.g. the streaming
+        checkpoint) has passed those batches."""
+        if keep_snapshots < 1:
+            raise ValueError("keep_snapshots must be >= 1 (the current "
+                             "snapshot must survive gc)")
         versions = self._snapshot_versions(tier)
         keep_versions = versions[-keep_snapshots:] if versions else []
         live: set[str] = set()
@@ -442,6 +451,6 @@ class AggregateStore:
                         removed.append(d)
                 if not any(e.startswith("p_month=") for e in os.listdir(job_dir)):
                     shutil.rmtree(job_dir)
-        for v in versions[:-keep_snapshots] if keep_snapshots else versions:
+        for v in versions[:-keep_snapshots]:
             os.unlink(f"{self.snapshots_path(tier)}/v{v}.json")
         return removed
