@@ -45,17 +45,20 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)
-        # local mode: executors live in the driver JVM, whose default 1g heap
-        # OOMs under 32 concurrent parquet-writer tasks. Only effective
-        # before the JVM starts — a no-op on an already-running gateway.
-        builder = builder.config(
-            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g")
-        )
-        # measured: ParallelGC cuts this allocation-heavy columnar workload's
-        # wall time ~3x vs default G1 on a 32-thread local JVM
-        builder = builder.config(
-            "spark.driver.extraJavaOptions", "-XX:+UseParallelGC"
-        )
+    # local mode: executors live in the driver JVM, whose default 1g heap
+    # OOMs under 32 concurrent parquet-writer tasks. Only effective before
+    # the JVM starts — a no-op under spark-submit or a running gateway, so
+    # it is set UNCONDITIONALLY (a master-less `python -m
+    # ingestr_spark.pipeline` run still launches a local JVM and used to
+    # inherit the 1g default: OOM at 24M rows).
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g")
+    )
+    # measured: ParallelGC cuts this allocation-heavy columnar workload's
+    # wall time ~3x vs default G1 on a 32-thread local JVM
+    builder = builder.config(
+        "spark.driver.extraJavaOptions", "-XX:+UseParallelGC"
+    )
     conf = dict(ENGINE_CONF)
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
