@@ -317,3 +317,11 @@ def test_ppm_stats_distributed(spark):
     assert r0["r_sum"] == int(((i * 7) % 256).sum())
     assert r0["g_sum"] == int(((i * 7 + 11) % 256).sum())
     assert r0["decode_ok"]
+
+
+def test_local_session_sets_driver_heap(spark):
+    """Regression guard for the master-less OOM: every get_spark session
+    (incl. ones built without an explicit master) must carry the local
+    driver-heap setting — the 1g JVM default dies reading the 24M-row
+    bench table."""
+    assert spark.conf.get("spark.driver.memory") == "20g"
