@@ -69,6 +69,20 @@ class AggregateStore:
         return f"{self.root}/manifest/{tier}"
 
     # ---- snapshot pointer (the commit mechanism) --------------------------
+    def _rel(self, path: str) -> str:
+        """Root-relative form of a data dir for storage INSIDE a snapshot.
+        Snapshots must be relocatable: a store moved/symlinked/reopened under
+        a different root spelling must still resolve (and gc must still
+        recognize) its own committed data, so snapshots never embed the root."""
+        p = path.rstrip("/")
+        prefix = self.root + "/"
+        return p[len(prefix):] if p.startswith(prefix) else p
+
+    def _resolve(self, path: str) -> str:
+        """Absolute path for a snapshot entry; absolute entries (legacy
+        pre-relative snapshots) pass through unchanged."""
+        return path if os.path.isabs(path) else f"{self.root}/{path}"
+
     def _snapshot_versions(self, tier: str) -> list[int]:
         d = self.snapshots_path(tier)
         if not os.path.isdir(d):
@@ -113,7 +127,7 @@ class AggregateStore:
             if d is None:
                 parts.pop(month, None)
             else:
-                parts[month] = d
+                parts[month] = self._rel(d)
         snap = {
             "version": cur["version"] + 1,
             "partitions": dict(sorted(parts.items())),
@@ -167,6 +181,7 @@ class AggregateStore:
             parts = {m: d for m, d in parts.items() if m in months}
         if not parts:
             raise FileNotFoundError(f"tier {tier}: no committed partitions")
+        parts = {m: self._resolve(d) for m, d in parts.items()}
         # group month dirs by their owning job dir so each read keeps the
         # p_month partition column (basePath) and the plan stays small
         by_job: dict[str, list[str]] = {}
@@ -433,22 +448,45 @@ class AggregateStore:
                              "snapshot must survive gc)")
         versions = self._snapshot_versions(tier)
         keep_versions = versions[-keep_snapshots:] if versions else []
+        # live = realpaths of every referenced dir so a root reopened via a
+        # symlink / relative spelling still recognizes its committed data
         live: set[str] = set()
+        n_live_refs = 0
         for v in keep_versions:
             with open(f"{self.snapshots_path(tier)}/v{v}.json") as fh:
-                live.update(json.load(fh)["partitions"].values())
-        removed = []
+                for d in json.load(fh)["partitions"].values():
+                    n_live_refs += 1
+                    live.add(os.path.realpath(self._resolve(d)))
         base = f"{self.root}/data/{tier}"
+        candidates: list[str] = []
         if os.path.isdir(base):
             for job in sorted(os.listdir(base)):
                 job_dir = f"{base}/{job}"
-                for entry in sorted(os.listdir(job_dir)):
-                    if not entry.startswith("p_month="):
-                        continue
-                    d = f"{job_dir}/{entry}"
-                    if d not in live:
-                        shutil.rmtree(d)
-                        removed.append(d)
+                candidates.extend(
+                    f"{job_dir}/{entry}"
+                    for entry in sorted(os.listdir(job_dir))
+                    if entry.startswith("p_month=")
+                )
+        # Safety interlock: retained snapshots reference partitions but NONE
+        # of them resolve to a scanned dir — the root moved without its data,
+        # or the snapshot paths are unresolvable. Deleting here would wipe
+        # every committed file, so refuse instead of "collecting garbage".
+        if n_live_refs and candidates and not any(
+            os.path.realpath(d) in live for d in candidates
+        ):
+            raise RuntimeError(
+                f"gc({tier}): retained snapshots reference {n_live_refs} "
+                f"partition dir(s) but none match any dir under {base} — "
+                "refusing to delete (store moved or snapshot paths stale?)"
+            )
+        removed = []
+        for d in candidates:
+            if os.path.realpath(d) not in live:
+                shutil.rmtree(d)
+                removed.append(d)
+        if os.path.isdir(base):
+            for job in sorted(os.listdir(base)):
+                job_dir = f"{base}/{job}"
                 if not any(e.startswith("p_month=") for e in os.listdir(job_dir)):
                     shutil.rmtree(job_dir)
         for v in versions[:-keep_snapshots]:

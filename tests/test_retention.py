@@ -80,6 +80,106 @@ def test_retention_drops_only_verified_old_months(store):
     assert store.read_tier("1d").count() > 0
 
 
+def test_store_is_relocatable(spark, tok, tmp_path):
+    """Snapshots hold ROOT-RELATIVE paths: moving the whole store directory
+    (or reopening it under another spelling) must keep reads working and —
+    critically — gc() must still recognize the committed data as live
+    instead of deleting it all (the round-3 absolute-path hazard)."""
+    old_root = tmp_path / "orig" / "store"
+    s = AggregateStore(spark, str(old_root))
+    s.build_tier("1h", tok)
+    n = s.read_tier("1h").count()
+    snap = s.current_snapshot("1h")
+    assert all(not os.path.isabs(d) for d in snap["partitions"].values())
+
+    new_root = tmp_path / "moved_store"
+    os.rename(old_root, new_root)
+    s2 = AggregateStore(spark, str(new_root))
+    assert s2.read_tier("1h").count() == n
+    assert s2.gc("1h") == []          # nothing live was collected
+    assert s2.read_tier("1h").count() == n
+
+    # reopen via a symlinked spelling of the same root: still no deletion
+    link = tmp_path / "store_link"
+    os.symlink(new_root, link)
+    s3 = AggregateStore(spark, str(link))
+    assert s3.gc("1h") == []
+    assert s3.read_tier("1h").count() == n
+
+
+def test_gc_refuses_when_no_live_dir_matches(spark, tok, tmp_path):
+    """Interlock: if retained snapshots reference partitions but none match
+    any scanned dir (e.g. stale absolute paths after a move), gc must raise
+    rather than treat every committed file as garbage."""
+    import json
+
+    s = AggregateStore(spark, str(tmp_path / "store_gcguard"))
+    s.build_tier("1h", tok)
+    snap_dir = s.snapshots_path("1h")
+    v = s._snapshot_versions("1h")[-1]
+    with open(f"{snap_dir}/v{v}.json") as fh:
+        snap = json.load(fh)
+    snap["partitions"] = {
+        m: f"/nonexistent/old-root/{d}" for m, d in snap["partitions"].items()
+    }
+    os.unlink(f"{snap_dir}/v{v}.json")
+    with open(f"{snap_dir}/v{v}.json", "w") as fh:
+        json.dump(snap, fh)
+    with pytest.raises(RuntimeError, match="refusing to delete"):
+        s.gc("1h")
+    # data untouched by the refused gc
+    base = f"{s.root}/data/1h"
+    assert any(
+        e.startswith("p_month=")
+        for job in os.listdir(base)
+        for e in os.listdir(f"{base}/{job}")
+    )
+
+
+def test_concurrent_commit_cas_exactly_one_winner(spark, tok, tmp_path):
+    """Optimistic-concurrency contract of the create-exclusive snapshot
+    commit: two committers that both derived the same next version race the
+    CAS — exactly one wins, the loser fails LOUDLY (FileExistsError), and
+    readers resolve the winner's snapshot."""
+    import threading
+    from unittest import mock
+
+    s = AggregateStore(spark, str(tmp_path / "store_race"))
+    s.build_tier("1h", tok)
+    base = s.current_snapshot("1h")
+
+    barrier = threading.Barrier(2)
+    results: dict[str, object] = {}
+
+    def committer(name: str) -> None:
+        # both writers hold the SAME base snapshot (patched in the main
+        # thread), sync at the barrier, then race os.link on the same
+        # v(N+1) target
+        barrier.wait()
+        try:
+            s._commit_snapshot("1h", {"2099-01": f"data/1h/{name}/p_month=2099-01"},
+                               job_id=name)
+            results[name] = "won"
+        except FileExistsError:
+            results[name] = "lost"
+
+    threads = [threading.Thread(target=committer, args=(n,))
+               for n in ("writer_a", "writer_b")]
+    with mock.patch.object(AggregateStore, "current_snapshot",
+                           return_value=dict(base)):
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+    assert sorted(results.values()) == ["lost", "won"]
+    winner = next(k for k, v in results.items() if v == "won")
+    cur = s.current_snapshot("1h")
+    assert cur["version"] == base["version"] + 1
+    assert cur["job_id"] == winner
+    assert cur["partitions"]["2099-01"].startswith(f"data/1h/{winner}/")
+
+
 def test_commit_is_snapshot_only_no_inplace_mutation(spark, tok, tmp_path):
     """Object-store safety: committing new work never mutates or deletes an
     existing file — it only ADDS data files and ONE new snapshot version.
