@@ -350,14 +350,14 @@ def q_embedding_neardup_pair(spark, sf_dir):
     embeddings table at a low threshold, and the sub-quadratic sign-sketch
     LSH + exact-rescore path over the planted-near-dup table at the
     near-duplicate threshold (oracle = exact all-pairs SQL; recall 1.0)."""
-    from ingestr_spark.datagen import neardup_embeddings
+    from ingestr_spark.datagen import EMB_DIM, neardup_embeddings
     from ingestr_spark.operators.dedup import embedding_near_dup, embedding_near_dup_lsh
 
     apply_engine_conf(spark)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     exact = embedding_near_dup(emb, threshold=0.4)
     nde = neardup_embeddings(spark, sf_dir)
-    lsh = embedding_near_dup_lsh(nde, threshold=0.95, bits=32, bands=8)
+    lsh = embedding_near_dup_lsh(nde, threshold=0.95, bits=32, bands=8, dim=EMB_DIM)
     return _union_tag("method", [("exact", exact), ("lsh", lsh)])
 
 
@@ -380,6 +380,7 @@ def q_ann_topk_both(spark, sf_dir):
     hyperplane sign buckets + Hamming-1 multiprobe + exact rescore, with
     the full LSH algorithm mirrored in DuckDB (identical integer buckets on
     both engines prove partitioning/engine independence)."""
+    from ingestr_spark.datagen import EMB_DIM
     from ingestr_spark.operators.similarity import brute_force_topk, lsh_topk
 
     apply_engine_conf(spark)
@@ -388,7 +389,7 @@ def q_ann_topk_both(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     brute = brute_force_topk(emb, queries_df, k=5)
-    lsh = lsh_topk(emb, queries_df, k=5, bits=8, multiprobe=True)
+    lsh = lsh_topk(emb, queries_df, k=5, bits=8, multiprobe=True, dim=EMB_DIM)
     return _union_tag("method", [("brute", brute), ("lsh", lsh)])
 
 

@@ -100,6 +100,10 @@ class _BitReader:
         DECODE 4x slower than encode)."""
         pos = self.pos
         end = pos + bits
+        if end > 8 * len(self.data):
+            raise ValueError(
+                f"truncated blob: need bit {end}, have {8 * len(self.data)}"
+            )
         last = (end + 7) >> 3
         chunk = int.from_bytes(self.data[pos >> 3:last], "big")
         self.pos = end

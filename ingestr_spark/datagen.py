@@ -206,6 +206,11 @@ def exactdup_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# dimensionality of the driver's embeddings.parquet (fixed at every SF);
+# entry queries pass this so the ANN/LSH plans stay action-free (no one-row
+# dim probe job before the main action)
+EMB_DIM = 64
+
 # near-dup EMBEDDING fixture: the raw embeddings table has no high-cosine
 # pairs (max background cosine ≈ 0.6 at every SF — random 64-dim vectors),
 # so the near-dup regime LSH is built for is planted deterministically:

@@ -482,6 +482,7 @@ def embedding_near_dup_lsh(
     bits: int = 32,
     bands: int = 8,
     max_bucket_rows: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Sub-quadratic near-duplicate pairs over PRE-QUANTIZED bigint vectors:
     sign-sketch LSH banding + exact integer rescoring.
@@ -506,10 +507,11 @@ def embedding_near_dup_lsh(
 
     from pyspark.sql import types as T
 
-    from ingestr_spark.operators.similarity import hyperplane_weights
+    from ingestr_spark.operators.similarity import hyperplane_weights, probe_dim
 
     width = bits // bands
-    dim = len(df.select(qvec_col).first()[0])  # bounded driver action
+    if dim is None:
+        dim = probe_dim(df, qvec_col)  # bounded driver action (pass dim= on hot paths)
     # Arrow-vectorized sketch kernel: all ``bits`` projections per row are
     # one numpy int64 matmul against the literal weight matrix, packed into
     # per-band values (bit p lands in band p//width with weight 1<<(p%width)

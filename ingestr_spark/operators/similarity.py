@@ -106,6 +106,21 @@ def hyperplane_weights(bits: int, dim: int) -> list[list[int]]:
     return out
 
 
+def probe_dim(df: DataFrame, vec_col: str) -> int:
+    """Bounded driver action: read the embedding dimensionality off one row.
+    ArrayType carries no length, so when a caller does not pass ``dim`` this
+    one-row job runs BEFORE the main action — hot paths should pass ``dim``
+    explicitly to keep their plans action-free. Raises a clear error on an
+    empty frame / null vector instead of the old TypeError on ``first()``."""
+    row = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+    if row is None:
+        raise ValueError(
+            f"cannot infer embedding dim: no non-null {vec_col!r} row "
+            "(pass dim= explicitly or supply a non-empty input)"
+        )
+    return len(row[0])
+
+
 def hyperplane_bucket(
     df: DataFrame, vec_col: str, bits: int = 8, out: str = "bucket",
     dim: int | None = None,
@@ -121,9 +136,9 @@ def hyperplane_bucket(
     transform (Catalyst collapses projects, and lambda bodies block
     subexpression elimination) — O(bits·dim²) interpreted work per row,
     measured ~15x slower on the ANN bench. ``dim`` is read from one row
-    when not given (a bounded driver action)."""
+    when not given (a bounded driver action — see :func:`probe_dim`)."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        dim = probe_dim(df, vec_col)
     q = f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * {SCALE}) AS BIGINT))"
     terms = []
     for p, row in enumerate(hyperplane_weights(bits, dim)):
@@ -247,16 +262,21 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Bucketed ANN: same-bucket (plus Hamming-1 probes) candidates, exact
     rescoring, per-query top-k. Recall < 1 by construction — compare against
-    brute_force_topk to measure."""
+    brute_force_topk to measure. Pass ``dim`` on hot paths so the plan stays
+    action-free (otherwise one bounded one-row probe infers it)."""
+    if dim is None:
+        dim = probe_dim(corpus, vec_col)
     c = hyperplane_bucket(
-        _quantize(corpus.select(id_col, vec_col), vec_col, "cq"), vec_col, bits
+        _quantize(corpus.select(id_col, vec_col), vec_col, "cq"), vec_col, bits,
+        dim=dim,
     )
     q = hyperplane_bucket(
         _quantize(queries.select(query_id_col, F.col(vec_col).alias("_qv")), "_qv", "qq"),
-        "_qv", bits,
+        "_qv", bits, dim=dim,
     )
     if multiprobe:
         probes = F.array(

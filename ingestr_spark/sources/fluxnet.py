@@ -98,8 +98,15 @@ def read_fluxnet_csv(
         mapping = F.create_map(
             *[F.lit(x) for kv in sorted(site_by_file.items()) for x in kv]
         )
+        # input_file_name() is URI-encoded (spaces -> %20, non-ASCII ->
+        # %XX), so decode the basename before the lookup; the raw-basename
+        # fallback covers names where form-decoding would mangle a literal
+        # '+' (url_decode maps '+' -> ' ', but a URI never encodes a space
+        # as '+', so exactly one of the two forms matches the catalog key).
         base = F.element_at(F.split(F.input_file_name(), "/"), -1)
-        df = df.withColumn("sitename", mapping[base])
+        df = df.withColumn(
+            "sitename", F.coalesce(mapping[F.url_decode(base)], mapping[base])
+        )
     elif sitename is not None:
         df = df.withColumn("sitename", F.lit(sitename))
     return df

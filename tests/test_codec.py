@@ -135,3 +135,24 @@ def test_unversioned_legacy_blob_rejected():
         decode_timestamps(legacy)
     with pytest.raises(ValueError, match="version"):
         decode_values(legacy)
+
+
+def test_truncated_blob_rejected():
+    """A blob cut short must raise ValueError('truncated blob'), not decode
+    garbage from a misaligned bit slice (round-3 multi-bit reader hazard)."""
+    import numpy as np
+    import pytest
+
+    from ingestr_spark.compression.gorilla import (
+        decode_timestamps,
+        decode_values,
+        encode_timestamps,
+        encode_values,
+    )
+
+    ts_blob = encode_timestamps(np.array([0, 60, 120, 181, 240], dtype=np.int64))
+    v_blob = encode_values(np.array([1.5, 1.5, 2.25, -3.0, 7.125]))
+    for blob, dec in ((ts_blob, decode_timestamps), (v_blob, decode_values)):
+        for cut in (1, 2, len(blob) // 2, len(blob) - 1):
+            with pytest.raises(ValueError, match="truncated"):
+                dec(blob[:cut])

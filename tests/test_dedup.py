@@ -284,3 +284,48 @@ def test_cluster_representatives_fixture_groups(spark, sf_dir):
     assert distinct_reps == 100
     bad = reps.filter("rep != id - id % 5").count()
     assert bad == 0
+
+
+def test_probe_dim_empty_input_clear_error(spark):
+    """ADVICE r3: first() on an empty frame used to raise TypeError deep in
+    the expression builder; now every dim-inferring entry point raises a
+    clear ValueError."""
+    from ingestr_spark.operators.dedup import embedding_near_dup_lsh
+    from ingestr_spark.operators.similarity import hyperplane_bucket, probe_dim
+
+    empty = spark.createDataFrame([], "id long, q array<bigint>")
+    with pytest.raises(ValueError, match="cannot infer embedding dim"):
+        probe_dim(empty, "q")
+    with pytest.raises(ValueError, match="cannot infer embedding dim"):
+        hyperplane_bucket(empty, "q", bits=4)
+    with pytest.raises(ValueError, match="cannot infer embedding dim"):
+        embedding_near_dup_lsh(empty, "id", "q")
+    # null-vector rows are skipped by the probe, not dereferenced
+    nulls = spark.createDataFrame([(1, None)], "id long, q array<bigint>")
+    with pytest.raises(ValueError, match="cannot infer embedding dim"):
+        probe_dim(nulls, "q")
+
+
+def test_explicit_dim_keeps_plan_action_free(spark, sf_dir):
+    """VERDICT r3 #6: with dim passed, building the ANN/LSH plans must run
+    NO Spark job (no one-row probe) before the main action."""
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+
+    from ingestr_spark.datagen import EMB_DIM, neardup_embeddings
+    from ingestr_spark.operators.dedup import embedding_near_dup_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    nde = neardup_embeddings(spark, sf_dir)
+    with mock.patch.object(
+        DataFrame, "first", side_effect=AssertionError("driver action in plan build")
+    ):
+        plan_lsh = lsh_topk(emb, queries, k=3, bits=8, dim=EMB_DIM)
+        plan_nd = embedding_near_dup_lsh(nde, threshold=0.95, bits=32, bands=8,
+                                         dim=EMB_DIM)
+    assert plan_lsh.count() > 0
+    assert plan_nd.count() > 0

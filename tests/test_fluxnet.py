@@ -228,3 +228,25 @@ def test_largest_file_wins(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(FileNotFoundError):
         resolve_fluxnet_file(str(tmp_path), "NO-Site", "d")
+
+
+def test_site_by_file_uri_encoded_basename(spark, tmp_path):
+    """ADVICE r3: input_file_name() is URI-encoded, so a basename with a
+    space / non-ASCII char never matched the raw site_by_file key and the
+    whole file silently got sitename NULL. The lookup now URL-decodes (with
+    a raw fallback for literal '+')."""
+    rows = "TIMESTAMP,TA_F\n20210101,1.0\n20210102,2.0"
+    names = {
+        "FLX_AA Spc_FULLSET_DD.csv": "AA-Spc",   # space -> %20
+        "FLX_BB%pc_FULLSET_DD.csv": "BB-Pct",    # literal % -> %25
+        "FLX_CC+pl_FULLSET_DD.csv": "CC-Plu",    # literal + (raw fallback)
+        "FLX_DDüni_FULLSET_DD.csv": "DD-Uni",    # non-ASCII -> %C3%BC
+    }
+    for fname in names:
+        (tmp_path / fname).write_text(rows)
+    df = read_fluxnet_csv(
+        spark, [str(tmp_path / f) for f in names], freq="d", site_by_file=names
+    )
+    got = {r["sitename"] for r in df.select("sitename").distinct().collect()}
+    assert got == set(names.values())
+    assert df.filter("sitename IS NULL").count() == 0
