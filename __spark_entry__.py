@@ -395,10 +395,12 @@ def q_ann_topk_both(spark, sf_dir):
 
 def q_ann_topk_ivf(spark, sf_dir):
     """IVF ANN (data-adaptive alternative to LSH): deterministic Lloyd
-    coarse quantizer + nprobe cells + exact rescore. The Lloyd iteration is
-    driver-orchestrated (not SQL-expressible), so this entry has NO
-    oracle_sql mirror — the driver records the weaker rows-only check;
-    determinism and recall-vs-brute are pytest-asserted (test_dedup)."""
+    coarse quantizer + nprobe cells + exact rescore. Every step is exact
+    integer arithmetic (r4), so the DuckDB oracle UNROLLS the full 2-round
+    Lloyd chain (seed -> assign -> truncated-div update, twice -> final
+    assign -> probe -> rescore -> top-k) and both engines compute identical
+    cells and candidates (oracles.ANN_TOPK_IVF); determinism and
+    recall-vs-brute are additionally pytest-asserted (test_dedup)."""
     from ingestr_spark.operators.similarity import ivf_topk
 
     apply_engine_conf(spark)
@@ -1087,7 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_pair": q_embedding_neardup_pair,
         "dedup_cluster_reps": q_dedup_cluster_reps,
         "ann_topk_both": q_ann_topk_both,
-        "ann_topk_ivf": q_ann_topk_ivf,  # rows-only: no SQL-expressible oracle
+        "ann_topk_ivf": q_ann_topk_ivf,
         "text_stats": q_text_stats,
         "bitqc_filter": q_bitqc_filter,
         "pivot_events_daily": q_pivot_events_daily,
@@ -1140,6 +1142,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_pair": oracles.EMBEDDING_NEARDUP_PAIR,
         "dedup_cluster_reps": oracles.DEDUP_CLUSTER_REPS,
         "ann_topk_both": oracles.ANN_TOPK_BOTH,
+        "ann_topk_ivf": oracles.ANN_TOPK_IVF,
         "text_stats": oracles.TEXT_STATS,
         "bitqc_filter": oracles.BITQC_FILTER,
         "pivot_events_daily": oracles.PIVOT_EVENTS_DAILY,

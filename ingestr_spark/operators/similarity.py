@@ -151,18 +151,21 @@ def hyperplane_bucket(
     return df.withColumn(out, F.expr("CAST(" + " + ".join(terms) + " AS INT)"))
 
 
-def _centroid_dist_structs(qcol: str, centroids: list[list[float]]):
-    """Array<struct<d,i>> of (L2-squared distance to centroid c, c) — the
-    argmin cell is array_min(...).i (struct ordering compares d first).
-    Centroids are literal arrays, so assignment is a pure projection: no
-    join, no shuffle, stays in codegen."""
+def _centroid_dist_structs(qcol: str, centroids: list[list[int]]):
+    """Array<struct<d,i>> of (integer L2-squared distance to centroid c, c)
+    — the argmin cell is array_min(...).i (struct ordering compares d
+    first, ties broken by the smaller cell index). Centroids are INTEGER
+    literal arrays, so the whole distance is exact int64 arithmetic —
+    order-independent and bit-identical on any engine/cluster (|x-c| ≤
+    2·scale·max|emb| ≈ 1e5, squared ×dim ≈ 6e11 « 2^63). Assignment is a
+    pure projection: no join, no shuffle, stays in codegen."""
     structs = []
     for ci, cen in enumerate(centroids):
-        cen_lit = "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in cen) + ")"
+        cen_lit = "array(" + ", ".join(f"{int(v)}L" for v in cen) + ")"
         dist = F.expr(
             f"aggregate(zip_with({qcol}, {cen_lit}, "
-            f"(x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), "
-            f"CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+            f"(x, c) -> (x - c) * (x - c)), "
+            f"CAST(0 AS BIGINT), (a, x) -> a + x)"
         )
         structs.append(F.struct(dist.alias("d"), F.lit(ci).alias("i")))
     return F.array(*structs)
@@ -174,16 +177,19 @@ def ivf_build(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> tuple[DataFrame, list[list[float]]]:
+) -> tuple[DataFrame, list[list[int]]]:
     """Deterministic IVF coarse quantizer (the k-means inverted-file ANN
-    family): no RNG anywhere —
+    family): no RNG anywhere, and EVERY step is exact integer arithmetic so
+    the whole chain is engine- and partitioning-independent (which is what
+    lets the DuckDB oracle unroll it, oracles.py::ANN_TOPK_IVF) —
 
     * init: centroids = the quantized vectors of the ``n_centroids`` SMALLEST
       ids (stable across runs/partitionings);
-    * Lloyd iterations: assignment = exact argmin L2 against literal
-      centroids (projection, no shuffle); update = per-(cell, dim) mean of
-      exact int64 components (one shuffle on (cell, dim); integer sums →
-      the new centroids are identical on any cluster);
+    * Lloyd iterations: assignment = exact int64 argmin L2 against literal
+      integer centroids (projection, no shuffle; ties → smaller cell);
+      update = per-(cell, dim) TRUNCATED-DIV mean sum(x) div count (one
+      shuffle of cells × dims partial sums; integer in, integer out — no
+      float mean whose summation order could differ between engines);
     * empty cells keep their previous centroid.
 
     Returns (corpus with ``cell`` column, final centroid list). At 10^9+
@@ -192,7 +198,7 @@ def ivf_build(
     """
     q = _quantize(corpus.select(id_col, vec_col), vec_col, "q")
     seed_rows = q.orderBy(id_col).limit(n_centroids).collect()
-    centroids = [[float(v) for v in r["q"]] for r in seed_rows]
+    centroids = [[int(v) for v in r["q"]] for r in seed_rows]
     for _ in range(iters):
         assigned = q.withColumn(
             "cell", _centroid_dist_structs("q", centroids)
@@ -200,12 +206,15 @@ def ivf_build(
         upd = (
             assigned.select("cell", F.posexplode("q").alias("dim", "x"))
             .groupBy("cell", "dim")
-            .agg(F.avg("x").alias("m"))
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt"))
             .collect()
         )
         new = [list(c) for c in centroids]
         for r in upd:
-            new[r["cell"]][r["dim"]] = float(r["m"])
+            s, cnt = int(r["s"]), int(r["cnt"])
+            # truncated integer division (toward zero) — same operator as
+            # Spark SQL's `div` and DuckDB's `//`
+            new[r["cell"]][r["dim"]] = abs(s) // cnt * (1 if s >= 0 else -1)
         centroids = new
     assigned = q.withColumn(
         "cell", _centroid_dist_structs("q", centroids)

@@ -2309,6 +2309,90 @@ UNION ALL
 SELECT 'lsh' AS method, * FROM ({ANN_TOPK_LSH})
 """
 
+
+def _ivf_assign(src: str, cen: str, out_cols: str = "id, q") -> str:
+    """One unrolled Lloyd ASSIGNMENT step: per row, the argmin-L2 cell
+    against the current centroid table (ties → smaller cell index). The
+    distance is a pure int64 sum of squares — order-independent, so SUM
+    over any evaluation order matches Spark's left-to-right fold exactly
+    (similarity.py::_centroid_dist_structs)."""
+    return f"""
+  SELECT {out_cols}, cell FROM (
+    SELECT t.*, s.ci AS cell,
+      ROW_NUMBER() OVER (PARTITION BY t.id ORDER BY
+        list_sum(list_transform(range(1, len(t.q) + 1),
+                 i -> (t.q[i] - s.c[i]) * (t.q[i] - s.c[i]))) ASC,
+        s.ci ASC) AS rn
+    FROM {src} t CROSS JOIN {cen} s
+  ) WHERE rn = 1
+"""
+
+
+def _ivf_update(assigned: str, cen: str) -> str:
+    """One unrolled Lloyd UPDATE step: new centroid component =
+    sum(x) div count per (cell, dim) — TRUNCATED integer division (DuckDB
+    ``//``; Spark mirrors with abs-based truncation), empty cells keep the
+    previous centroid (LEFT JOIN + COALESCE)."""
+    return f"""
+  SELECT s.ci, list(
+      COALESCE(CASE WHEN u.s >= 0 THEN u.s // u.cnt
+                    ELSE -((-u.s) // u.cnt) END,
+               s.c[j.i]) ORDER BY j.i) AS c
+  FROM {cen} s
+  CROSS JOIN range(1, 65) j(i)
+  LEFT JOIN (
+    SELECT a.cell, j2.i AS dim, SUM(a.q[j2.i]) AS s, COUNT(*) AS cnt
+    FROM {assigned} a, range(1, 65) j2(i)
+    GROUP BY a.cell, j2.i
+  ) u ON u.cell = s.ci AND u.dim = j.i
+  GROUP BY s.ci
+"""
+
+
+# IVF ANN path: the FULL deterministic chain — seed centroids = quantized
+# vectors of the 16 smallest ids, exactly 2 Lloyd iterations (assignment =
+# exact int64 argmin-L2, update = truncated-div integer mean, empty cells
+# keep their centroid), final assignment, nprobe=4 probe cells per query,
+# exact integer-cosine rescore, two-phase-equal top-5. Every intermediate is
+# integer (the r4 change that made this mirror possible: float centroid
+# means would differ in summation order between engines), so both engines
+# compute IDENTICAL cells, probes, and candidates; the only floats are the
+# final cosines, whose operand order is mirrored exactly.
+# Spark: ingestr_spark/operators/similarity.py::ivf_build/ivf_topk.
+ANN_TOPK_IVF = f"""WITH {_QEMB},
+seed AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) AS INT) - 1 AS ci, q AS c
+  FROM q ORDER BY id LIMIT 16
+),
+a1 AS ({_ivf_assign('q', 'seed')}),
+c1 AS ({_ivf_update('a1', 'seed')}),
+a2 AS ({_ivf_assign('q', 'c1', 'id, q')}),
+c2 AS ({_ivf_update('a2', 'c1')}),
+af AS ({_ivf_assign('n', 'c2', 'id, q, nrm')}),
+probes AS (
+  SELECT id AS query_id, q AS qq, nrm AS qq_nrm, cell FROM (
+    SELECT t.id, t.q, t.nrm, s.ci AS cell,
+      ROW_NUMBER() OVER (PARTITION BY t.id ORDER BY
+        list_sum(list_transform(range(1, len(t.q) + 1),
+                 i -> (t.q[i] - s.c[i]) * (t.q[i] - s.c[i]))) ASC,
+        s.ci ASC) AS rn
+    FROM n t CROSS JOIN c2 s WHERE t.id < 10
+  ) WHERE rn <= 4
+),
+cand AS (
+  SELECT DISTINCT pr.query_id, c.id AS vec_id,
+    CAST(list_sum(list_transform(range(1, len(c.q) + 1), i -> c.q[i] * pr.qq[i])) AS DOUBLE)
+      / sqrt(CAST(c.nrm AS DOUBLE) * CAST(pr.qq_nrm AS DOUBLE)) AS cosine
+  FROM af c JOIN probes pr ON c.cell = pr.cell AND c.id <> pr.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+"""
+
 DOWNSCALE_MONTHLY_DAILY = f"""
 SELECT s.sitename, s.date, s.v AS v_step, p.v AS v_poly
 FROM ({DOWNSCALE_STEP}) s
