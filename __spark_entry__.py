@@ -428,16 +428,33 @@ def q_text_stats(spark, sf_dir):
 
 
 def q_bitqc_filter(spark, sf_dir):
-    """P8 bitfield QC: 16-bit word, MOD13Q1-style bit-window allow-lists."""
-    from ingestr_spark.operators.bitqc import PRODUCT_RULES, qc_bitfield_nullify
+    """P8 bitfield QC composite: (a) 16-bit MOD13Q1-style bit-window
+    allow-lists over the token table; (b) the FAITHFUL MCD15A3H 8-bit rule
+    (R/gapfill_interpol.R:155-225) applied to the reference's REAL bundled
+    CH-Lae GEE-subset CSV — allow-list decisions over actual FparLai_QC
+    words hash-checked against a DuckDB bit-arithmetic mirror."""
+    from ingestr_spark.operators.bitqc import (
+        PRODUCT_RULES,
+        qc_bitfield_nullify,
+        read_gee_subset_csv,
+    )
+    from ingestr_spark.oracles import GEE_SUBSET_CSV
 
     t = _tok(spark, sf_dir).withColumn("qcw", (F.col("id") * 40503) % 65536)
     f = qc_bitfield_nullify(t, "n_tok", "qcw", PRODUCT_RULES["mod13q1"])
-    return f.groupBy("source").agg(
+    mod = f.groupBy("source").agg(
         F.sum(F.when(F.col("n_tok").isNotNull(), 1).otherwise(0)).alias("n_kept"),
         F.sum(F.when(F.col("n_tok").isNull(), 1).otherwise(0)).alias("n_nulled"),
         F.sum("n_tok").alias("sum_n_tok_kept"),
     )
+    gee = read_gee_subset_csv(spark, GEE_SUBSET_CSV)
+    g = qc_bitfield_nullify(gee, "Fpar", "FparLai_QC", PRODUCT_RULES["mcd15a3h"])
+    mcd = g.groupBy(F.year("date").cast("string").alias("source")).agg(
+        F.sum(F.when(F.col("Fpar").isNotNull(), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("Fpar").isNull(), 1).otherwise(0)).alias("n_nulled"),
+        F.sum("Fpar").alias("sum_n_tok_kept"),
+    )
+    return _union_tag("profile", [("mod13q1", mod), ("mcd15a3h_real", mcd)])
 
 
 def q_pivot_events_daily(spark, sf_dir):

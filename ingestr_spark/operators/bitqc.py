@@ -52,16 +52,40 @@ def qc_bitfield_nullify(
     )
 
 
-# example product profiles mirroring the reference's shapes (bit windows per
-# product, R/gapfill_interpol.R:40-320). Values are illustrative allow-lists.
+# product profiles mirroring the reference's bit windows per product
+# (R/gapfill_interpol.R:40-320). mod13q1/mod09a1 keep illustrative
+# allow-lists over the same windows; mcd15a3h is the FAITHFUL reference
+# rule, oracle-checked against the real bundled CH-Lae GEE subset
+# (bitqc_filter composite): the reference reverses intToBits(qc)[1:8] into
+# a string and slices it (R/gapfill_interpol.R:155-225), which in LSB
+# arithmetic is bit 0 = MODLAND good quality (must be 0), bits 3-4 =
+# CloudState (must be 00 clear), bits 5-7 = SCF_QC confidence (must be
+# 000/001, main RT method).
 PRODUCT_RULES: dict[str, list[BitRule]] = {
     # 16-bit: bits 0-1 MODLAND QA in {0,1}; bits 2-5 VI usefulness < 12
     "mod13q1": [BitRule(0, 2, (0, 1)), BitRule(2, 4, tuple(range(12)))],
-    # 8-bit reversed-style: bits 5-7 cloud state == 0, bit 0 quality == 0
-    "mcd15a3h": [BitRule(5, 3, (0,)), BitRule(0, 1, (0,))],
+    # 8-bit MCD15A3H FparLai_QC (reference-faithful, see above)
+    "mcd15a3h": [BitRule(0, 1, (0,)), BitRule(3, 2, (0,)), BitRule(5, 3, (0, 1))],
     # 32-bit: bits 0-1 cloud in {0,3}, bits 6-7 aerosol in {1,2}
     "mod09a1": [BitRule(0, 2, (0, 3)), BitRule(6, 2, (1, 2))],
 }
+
+
+def read_gee_subset_csv(spark, path: str) -> DataFrame:
+    """Scan a GEE point-extraction subset CSV (the reference's
+    ``gee_subset`` download format: id, longitude, latitude, date, <band>,
+    <band>_QC, product — inst/extdata/CH-Lae_MCD15A3H_gee_subset.csv is the
+    bundled real example; produced by R/ingest_gee_bysite.R). Types are
+    declared, not inferred: band values and QC words read as integers,
+    ``date`` as a proper date."""
+    df = (
+        spark.read.option("header", True)
+        .option("inferSchema", True)
+        .csv(path)
+    )
+    if "date" in df.columns:
+        df = df.withColumn("date", F.col("date").cast("date"))
+    return df
 
 
 def apply_scale_factor(df: DataFrame, var: str, factor: float) -> DataFrame:

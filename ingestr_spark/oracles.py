@@ -465,7 +465,7 @@ FROM s
 
 # 16-bit QC word derived from id; mod13q1-style rules: bits0-1 in {0,1},
 # bits2-5 < 12. Mirrors operators/bitqc.py::qc_bitfield_nullify.
-BITQC_FILTER = f"""WITH {TOKENS_CTE},
+_BITQC_MOD13Q1 = f"""WITH {TOKENS_CTE},
 w AS (
   SELECT source, n_tok,
          (id * 40503) % 65536 AS qcw
@@ -481,6 +481,32 @@ SELECT source,
   CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_nulled,
   CAST(SUM(CASE WHEN ok THEN n_tok END) AS BIGINT) AS sum_n_tok_kept
 FROM f GROUP BY 1
+"""
+
+# the reference's REAL bundled MCD15A3H point-extraction CSV (read-only):
+# the faithful 8-bit rule (bit 0 MODLAND good, bits 3-4 CloudState clear,
+# bits 5-7 SCF_QC in {0,1} — R/gapfill_interpol.R:155-225) applied to the
+# actual FparLai_QC words, aggregated per year. This is bit arithmetic over
+# real reference data on both engines.
+GEE_SUBSET_CSV = "/root/reference/inst/extdata/CH-Lae_MCD15A3H_gee_subset.csv"
+
+_BITQC_MCD15A3H_REAL = f"""
+SELECT CAST(extract(year FROM date) AS VARCHAR) AS source,
+  CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_nulled,
+  CAST(SUM(CASE WHEN ok THEN Fpar END) AS BIGINT) AS sum_n_tok_kept
+FROM (
+  SELECT date, Fpar,
+    ((FparLai_QC >> 0) & 1) = 0 AND ((FparLai_QC >> 3) & 3) = 0
+      AND ((FparLai_QC >> 5) & 7) IN (0, 1) AS ok
+  FROM read_csv('{GEE_SUBSET_CSV}', header=true)
+) GROUP BY 1
+"""
+
+BITQC_FILTER = f"""
+SELECT 'mod13q1' AS profile, * FROM ({_BITQC_MOD13Q1})
+UNION ALL
+SELECT 'mcd15a3h_real' AS profile, * FROM ({_BITQC_MCD15A3H_REAL})
 """
 
 PIVOT_EVENTS_DAILY = """
