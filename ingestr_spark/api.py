@@ -153,9 +153,14 @@ def ingest(
                     for s in sites
                 ]
         elif source == "csv":
-            frames = [
-                read_fluxnet_csv(spark, f"{dir}", timescale, sitename=s) for s in sites
-            ]
+            # one shared file for every requested site: read it ONCE and fan
+            # out to sites with a broadcast cross join — one FileScan for N
+            # sites (the per-site loop re-scanned the same file N times)
+            base = read_fluxnet_csv(spark, f"{dir}", timescale)
+            sites_df = spark.createDataFrame(
+                [(s,) for s in sorted(sites)], "sitename string"
+            )
+            frames = [base.crossJoin(F.broadcast(sites_df))]
         else:  # tokens: daily rollup of the engine's token table per source
             from ingestr_spark.datagen import tokens_from_documents
             from ingestr_spark.operators.rollup import rollup_from_raw
