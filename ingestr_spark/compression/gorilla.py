@@ -210,8 +210,120 @@ def decode_timestamps(blob: bytes) -> np.ndarray:
 
 # ---- value codec: Gorilla XOR ----------------------------------------------
 
+def _bit_lengths_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length for a uint64 array (x > 0). Exponent read off
+    the float64 conversion, with an off-by-one fixup for values the
+    conversion rounds UP to the next power of two (e.g. 2^60 - 1 → 2.0^60):
+    candidate bl is correct or one too high, and (x >> (bl-1)) == 0 detects
+    the latter exactly."""
+    f = x.astype(np.float64)
+    bl = ((f.view(np.uint64) >> np.uint64(52)) & np.uint64(0x7FF)).astype(
+        np.int64
+    ) - 1022
+    bl = np.minimum(bl, 64)
+    over = (x >> np.minimum(bl - 1, 63).astype(np.uint64)) == 0
+    return bl - over
+
+
+def _bit_assemble(field_vals: list[int], field_bits: list[int]) -> bytes:
+    """Pack (value, nbits) fields MSB-first into bytes — the vectorized
+    replacement for per-point _BitWriter.write calls (measured ~8M bytearray
+    appends per 1M points). WORD-level: each ≤64-bit field lands in at most
+    two 64-bit big-endian words, scattered with bitwise_or.at (fields are
+    disjoint bit ranges, so OR composes them exactly). Zero-VALUED fields
+    may carry any length — all their contributions are 0 under any clipped
+    shift — which is how inter-point zero runs ride the same path. Trailing
+    padding is zero bits, identical to _BitWriter.getvalue()."""
+    if len(field_vals) < 256:
+        # few fields (short/constant series): a python int accumulator beats
+        # the fixed numpy setup cost
+        acc, nb = 0, 0
+        for v, b in zip(field_vals, field_bits):
+            acc = (acc << b) | (v & ((1 << b) - 1))
+            nb += b
+        pad = (-nb) % 8
+        return (acc << pad).to_bytes((nb + pad) // 8, "big")
+    fv = np.array(field_vals, dtype=np.uint64)
+    fb = np.array(field_bits, dtype=np.int64)
+    end = np.cumsum(fb)
+    total = int(end[-1])
+    start = end - fb
+    nwords = (total + 63) >> 6
+    words = np.zeros(nwords + 1, dtype=np.uint64)
+    widx = start >> 6
+    off = start & 63
+    spill = off + fb - 64  # bits of the field overflowing into word+1
+    ls = np.clip(-spill, 0, 63).astype(np.uint64)
+    rs = np.clip(spill, 0, 63).astype(np.uint64)
+    hi = np.where(spill <= 0, fv << ls, fv >> rs)
+    lo = np.where(
+        spill > 0, fv << np.clip(64 - spill, 0, 63).astype(np.uint64),
+        np.uint64(0),
+    )
+    np.bitwise_or.at(words, widx, hi)
+    np.bitwise_or.at(words, widx + 1, lo)
+    return words[:nwords].byteswap().tobytes()[: (total + 7) >> 3]
+
+
 def encode_values(vals: np.ndarray) -> bytes:
-    """vals: float64 array; bit-exact round trip (NaN included)."""
+    """vals: float64 array; bit-exact round trip (NaN included).
+
+    Two-pass encoder (round-4, VERDICT #7): pass 1 is the unavoidable
+    sequential scan — the '10'-control decision depends on the previous
+    window state — but touches only precomputed small ints (vectorized
+    lead/trail, no per-point bit_length or big-int shifts); pass 2 turns
+    the field list into the bitstream with one vectorized assembly
+    (:func:`_bit_assemble`). Byte-identical to the scalar reference encoder
+    (:func:`_encode_values_scalar`, equivalence-tested), so CODEC_VERSION
+    stays 2."""
+    bits = np.asarray(vals, dtype=np.float64).view(np.uint64)
+    n = len(bits)
+    if n == 0:
+        return _encode_values_scalar(vals)
+    xors = np.bitwise_xor(bits[1:], bits[:-1]) if n > 1 else np.empty(0, np.uint64)
+    nz = np.flatnonzero(xors)
+    # header + first raw value share the field pipeline
+    field_vals: list[int] = [CODEC_VERSION, n, int(bits[0])]
+    field_bits: list[int] = [8, 32, 64]
+    fv_app, fb_app = field_vals.append, field_bits.append
+    x_nz = xors[nz]
+    leads = np.minimum(64 - _bit_lengths_u64(x_nz), 31).tolist()
+    low = np.bitwise_and(x_nz, np.negative(x_nz))
+    trails = (_bit_lengths_u64(low) - 1).tolist()
+    # zero-run length BEFORE each nonzero point (vectorized gap calc)
+    gaps = np.diff(nz, prepend=-1) - 1
+    # prev_lead starts at 65 ("no window"): lead <= 31 always, so the
+    # lead >= prev_lead test alone rejects the first point — no separate
+    # prev_lead <= 64 guard needed
+    prev_lead, prev_len, prev_trail, prev_shift = 65, 0, 65, 0
+    for x, lead, trail, gap in zip(
+        x_nz.tolist(), leads, trails, gaps.tolist()
+    ):
+        if gap:
+            fv_app(0)
+            fb_app(gap)
+        if lead >= prev_lead and trail >= prev_trail:
+            fv_app(0b10)
+            fb_app(2)
+            fv_app(x >> prev_shift)
+            fb_app(prev_len)
+        else:
+            mlen = 64 - lead - trail
+            fv_app((((0b11 << 5) | lead) << 6) | (mlen & 0x3F))
+            fb_app(13)
+            fv_app(x >> trail)
+            fb_app(mlen)
+            prev_lead, prev_len, prev_trail, prev_shift = lead, mlen, trail, trail
+    tail_start = int(nz[-1]) + 1 if len(nz) else 0
+    if len(xors) > tail_start:
+        fv_app(0)
+        fb_app(len(xors) - tail_start)
+    return _bit_assemble(field_vals, field_bits)
+
+
+def _encode_values_scalar(vals: np.ndarray) -> bytes:
+    """Scalar reference encoder (pre-round-4 implementation, kept as the
+    bit-equality oracle for the vectorized path)."""
     bits = np.asarray(vals, dtype=np.float64).view(np.uint64)
     n = len(bits)
     w = _BitWriter()

@@ -156,3 +156,30 @@ def test_truncated_blob_rejected():
         for cut in (1, 2, len(blob) // 2, len(blob) - 1):
             with pytest.raises(ValueError, match="truncated"):
                 dec(blob[:cut])
+
+
+def test_vectorized_encoder_bitequal_property():
+    """Round-4 vectorized value encoder is byte-identical to the scalar
+    reference on arbitrary float64 series (incl. NaN/inf/−0.0)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import numpy as np
+
+    from ingestr_spark.compression.gorilla import (
+        _encode_values_scalar,
+        decode_values,
+        encode_values,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.floats(allow_nan=True, allow_infinity=True,
+                              width=64), max_size=300))
+    def check(xs):
+        vals = np.array(xs, dtype=np.float64)
+        blob = encode_values(vals)
+        assert blob == _encode_values_scalar(vals)
+        assert np.array_equal(
+            decode_values(blob).view(np.uint64), vals.view(np.uint64)
+        )
+
+    check()
