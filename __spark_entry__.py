@@ -646,15 +646,21 @@ def q_multimodal_real_wav(spark, sf_dir):
 
 
 def q_multimodal_real_ppm(spark, sf_dir):
-    """REAL image decode end-to-end: genuine binary PPM (P6) payloads are
-    written (multimodal.encode_ppm), shipped as binary columns, and parsed
-    back by the real Netpbm parser (multimodal.decode_ppm) inside a
-    mapInPandas batch; the oracle recomputes the exact per-channel integer
-    statistics from the generative pixel formula."""
-    from ingestr_spark.operators.multimodal import extract_image_stats, synth_ppm_media
+    """REAL image decode end-to-end over a MIXED-format binary column:
+    genuine PPM (P6) payloads (multimodal.encode_ppm) plus genuine PNG
+    payloads — zlib-DEFLATE IDAT, CRC-validated chunks, all five scanline
+    filter types exercised (multimodal.encode_png) — are shipped as binary
+    columns and parsed back by the real per-row magic-byte-dispatched
+    decoders inside one mapInPandas batch; the oracle recomputes the exact
+    per-channel integer statistics from both generative pixel formulas."""
+    from ingestr_spark.operators.multimodal import (
+        extract_image_stats,
+        synth_png_media,
+        synth_ppm_media,
+    )
 
     apply_engine_conf(spark)
-    media = synth_ppm_media(spark, 500)
+    media = synth_ppm_media(spark, 500).unionByName(synth_png_media(spark, 300))
     return extract_image_stats(media)
 
 

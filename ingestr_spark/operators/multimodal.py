@@ -16,12 +16,17 @@ Two formats ARE genuinely real (no external library needed):
   distributed via mapInPandas;
 * image — PPM (P6): :func:`encode_ppm` / :func:`decode_ppm` implement the
   Netpbm binary format (comment-tolerant header, raw RGB raster);
-  :func:`extract_image_stats` is the distributed decode.
+* image — PNG (8-bit truecolor, non-interlaced): :func:`encode_png` /
+  :func:`decode_png` implement the chunked container (CRC32-validated),
+  zlib DEFLATE (stdlib), and all five scanline filter types — a genuinely
+  COMPRESSED real codec, r4;
+  :func:`extract_image_stats` is the distributed decode for both image
+  formats (magic-byte auto-detect per row).
 
 For both, the driver oracle recomputes the exact integer statistics from
 the generative payload formula in DuckDB — writer → bytes → parser → stats
-is hash-checked end-to-end; only genuinely library-bound codecs (JPEG,
-MP4, ...) remain stubbed.
+is hash-checked end-to-end; only codecs whose decode libraries are absent
+from this container (JPEG, MP4, ...) remain stubbed.
 """
 
 from __future__ import annotations
@@ -90,10 +95,10 @@ def extract_features(
                 # PIL.Image.open(io.BytesIO(p)) / ffmpeg — libs absent here.
                 # WAV/PCM16 IS fully implemented: use extract_wav_stats().
                 raise NotImplementedError(
-                    "compressed image/video decode libraries are not "
-                    "available in this environment; use decoder='fake', or "
-                    "the REAL uncompressed decoders: extract_wav_stats() "
-                    "(WAV/PCM16 audio) and extract_image_stats() (PPM images)"
+                    "JPEG/MP4 decode libraries are not available in this "
+                    "environment; use decoder='fake', or the REAL decoders: "
+                    "extract_wav_stats() (WAV/PCM16 audio) and "
+                    "extract_image_stats() (PPM and zlib-DEFLATE PNG images)"
                 )
             feats = [
                 _fake_decode(bytes(p)).tolist() for p in pdf["payload"]
@@ -338,10 +343,191 @@ def synth_ppm_media(spark, n_rows: int) -> DataFrame:
     return spark.range(n_rows).mapInPandas(gen, out_schema)
 
 
+# ---- real PNG decode (stdlib zlib — DEFLATE is the actual codec) -------------
+
+import zlib
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data)) + typ + data
+        + struct.pack(">I", zlib.crc32(typ + data))
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """Real PNG writer (8-bit truecolor RGB, non-interlaced): IHDR + one
+    zlib-DEFLATE IDAT of filtered scanlines + IEND, CRC32 per chunk.
+    ``filters`` picks the per-row filter type (0 none / 1 sub / 2 up /
+    3 average / 4 paeth) so fixtures can exercise every unfilter path."""
+    h, w, c = pixels.shape
+    if c != 3:
+        raise ValueError("PNG writer is RGB (H, W, 3)")
+    px = np.ascontiguousarray(pixels, dtype=np.uint8).astype(np.int64)
+    raw = px.reshape(h, w * 3)
+    out = bytearray()
+    prev = np.zeros(w * 3, dtype=np.int64)
+    for y in range(h):
+        f = filters[y] if filters else 0
+        row = raw[y]
+        left = np.concatenate((np.zeros(3, np.int64), row[:-3]))
+        upleft = np.concatenate((np.zeros(3, np.int64), prev[:-3]))
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = row - left
+        elif f == 2:
+            filt = row - prev
+        elif f == 3:
+            filt = row - (left + prev) // 2
+        elif f == 4:
+            pred = np.array(
+                [_paeth(int(a), int(b), int(cc))
+                 for a, b, cc in zip(left, prev, upleft)], dtype=np.int64
+            )
+            filt = row - pred
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out.append(f)
+        out.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> dict:
+    """Real PNG parser (8-bit truecolor RGB, non-interlaced): validates the
+    signature and every chunk CRC, walks chunks (IDAT may be split),
+    zlib-inflates the scanline stream and reverses all five filter types
+    (the per-byte unfilter loop is fine here — fixture images are tiny; a
+    production decoder would vectorize sub/paeth with a C kernel). Raises
+    ValueError on any malformed input."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 12 <= len(payload):
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        if pos + 12 + clen > len(payload):
+            raise ValueError("truncated PNG chunk")
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + clen]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + clen)
+        if zlib.crc32(typ + data) != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.extend(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + clen
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(
+            "only 8-bit truecolor non-interlaced PNG supported "
+            f"(depth={depth} color={color} interlace={interlace})"
+        )
+    try:
+        stream = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"bad IDAT stream: {e}") from e
+    stride = w * 3
+    if len(stream) != h * (stride + 1):
+        raise ValueError("IDAT scanline stream has wrong length")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = bytes(stride)
+    for y in range(h):
+        f = stream[y * (stride + 1)]
+        row = bytearray(stream[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        if f == 1:
+            for i in range(3, stride):
+                row[i] = (row[i] + row[i - 3]) & 0xFF
+        elif f == 2:
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif f == 3:
+            for i in range(stride):
+                a = row[i - 3] if i >= 3 else 0
+                row[i] = (row[i] + (a + prev[i]) // 2) & 0xFF
+        elif f == 4:
+            for i in range(stride):
+                a = row[i - 3] if i >= 3 else 0
+                c = prev[i - 3] if i >= 3 else 0
+                row[i] = (row[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif f != 0:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = np.frombuffer(bytes(row), dtype=np.uint8)
+        prev = bytes(row)
+    return {
+        "width": w,
+        "height": h,
+        "maxval": 255,
+        "pixels": out.reshape(h, w, 3),
+    }
+
+
+def synth_png_media(spark, n_rows: int) -> DataFrame:
+    """Deterministic PNG corpus: row r is a (4 + (r%4)*3) x (5 + (r%5)*3)
+    RGB image, pixel (y, x, c) = (r*37 + (y*w + x)*13 + c*5) % 256, row y
+    filtered with type (r + y) % 5 — every PNG filter type is exercised.
+    Payloads are REAL PNG files (zlib DEFLATE, CRC-checked chunks)."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid in pdf["id"]:
+                rid = int(rid)
+                w = 5 + (rid % 5) * 3
+                h = 4 + (rid % 4) * 3
+                i = np.arange(w * h * 3, dtype=np.int64)
+                px = ((rid * 37 + (i // 3) * 13 + (i % 3) * 5) % 256).astype(np.uint8)
+                rows.append((
+                    f"p-{rid:09d}", "image",
+                    encode_png(px.reshape(h, w, 3),
+                               filters=[(rid + y) % 5 for y in range(h)]),
+                ))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+    return spark.range(n_rows).mapInPandas(gen, out_schema)
+
+
+def decode_image(payload: bytes) -> dict:
+    """Format auto-detect by magic bytes: P6 → PPM, \\x89PNG → PNG. One
+    extraction operator handles a mixed-format binary column."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    raise ValueError("unknown image format (not PPM/PNG)")
+
+
 def extract_image_stats(df: DataFrame) -> DataFrame:
-    """REAL image feature extraction over PPM payloads: parse the header +
-    raster per row inside a mapInPandas batch and emit exact integer
-    statistics (per-channel sums in int64 — order/engine-independent).
+    """REAL image feature extraction over PPM **and PNG** payloads (format
+    auto-detected per row by magic bytes): parse header + raster inside a
+    mapInPandas batch and emit exact integer statistics (per-channel sums
+    in int64 — order/engine-independent).
     Unparseable payloads yield decode_ok=false, not a task failure."""
     out_schema = T.StructType([
         T.StructField("media_id", T.StringType()),
@@ -362,7 +548,7 @@ def extract_image_stats(df: DataFrame) -> DataFrame:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    d = decode_ppm(bytes(p))
+                    d = decode_image(bytes(p))
                     px = d["pixels"].astype(np.int64)
                     sums = px.sum(axis=(0, 1))
                     rows.append((

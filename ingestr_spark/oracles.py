@@ -2647,4 +2647,33 @@ SELECT printf('m-%09d', rid) AS media_id,
   CAST(MAX(px) AS INT) AS px_max,
   TRUE AS decode_ok
 FROM v GROUP BY rid, w, h
+
+UNION ALL
+
+-- PNG half of the mixed-format image query (r4): the Spark side decodes a
+-- REAL zlib-DEFLATE PNG (all five filter types across rows); the oracle
+-- recomputes the same integer stats from the generative pixel formula
+-- (multimodal.synth_png_media)
+SELECT printf('p-%09d', rid) AS media_id,
+  CAST(w AS INT) AS width,
+  CAST(h AS INT) AS height,
+  CAST(w * h AS INT) AS n_px,
+  CAST(SUM(CASE WHEN c = 0 THEN px END) AS BIGINT) AS r_sum,
+  CAST(SUM(CASE WHEN c = 1 THEN px END) AS BIGINT) AS g_sum,
+  CAST(SUM(CASE WHEN c = 2 THEN px END) AS BIGINT) AS b_sum,
+  CAST(MIN(px) AS INT) AS px_min,
+  CAST(MAX(px) AS INT) AS px_max,
+  TRUE AS decode_ok
+FROM (
+  SELECT rid, w, h, CAST(i % 3 AS INT) AS c,
+         (rid * 37 + (i // 3) * 13 + (i % 3) * 5) % 256 AS px
+  FROM (
+    SELECT rid, w, h, unnest(range(w * h * 3)) AS i FROM (
+      SELECT CAST(r.range AS BIGINT) AS rid,
+             CAST(5 + (r.range % 5) * 3 AS BIGINT) AS w,
+             CAST(4 + (r.range % 4) * 3 AS BIGINT) AS h
+      FROM range(300) r
+    )
+  )
+) GROUP BY rid, w, h
 """

@@ -329,3 +329,68 @@ def test_explicit_dim_keeps_plan_action_free(spark, sf_dir):
                                          dim=EMB_DIM)
     assert plan_lsh.count() > 0
     assert plan_nd.count() > 0
+
+
+def test_png_codec_real_roundtrip():
+    """Real PNG writer/parser: roundtrip across random sizes with every
+    filter type, CRC corruption and truncation rejected, unsupported color
+    types rejected."""
+    import numpy as np
+
+    from ingestr_spark.operators.multimodal import (
+        decode_image,
+        decode_png,
+        encode_png,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(11)
+    for _ in range(10):
+        h, w = int(rng.integers(1, 16)), int(rng.integers(1, 16))
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        filters = [int(f) for f in rng.integers(0, 5, h)]
+        d = decode_png(encode_png(px, filters))
+        assert (d["width"], d["height"]) == (w, h)
+        assert np.array_equal(d["pixels"], px)
+
+    blob = bytearray(encode_png(np.arange(48, dtype=np.uint8).reshape(2, 8, 3)))
+    blob[40] ^= 0xFF  # flip one IDAT byte
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png(bytes(blob))
+    with pytest.raises(ValueError):
+        decode_png(bytes(blob[:30]))  # truncated
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"\x89PNX" + b"\x00" * 20)
+    # magic-byte dispatch picks the right parser
+    assert decode_image(encode_ppm(np.ones((2, 3, 3), np.uint8)))["width"] == 3
+    assert decode_image(encode_png(np.ones((2, 3, 3), np.uint8)))["width"] == 3
+    with pytest.raises(ValueError, match="unknown image format"):
+        decode_image(b"GIF89a....")
+
+
+def test_mixed_format_image_stats(spark):
+    """extract_image_stats over a MIXED PPM+PNG binary column: every row
+    decodes, and PNG stats match an independent per-row recompute."""
+    import numpy as np
+
+    from ingestr_spark.operators.multimodal import (
+        extract_image_stats,
+        synth_png_media,
+        synth_ppm_media,
+    )
+
+    media = synth_ppm_media(spark, 20).unionByName(synth_png_media(spark, 20))
+    out = extract_image_stats(media)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert len(rows) == 40
+    assert all(r["decode_ok"] for r in rows.values())
+    for rid in range(20):
+        w = 5 + (rid % 5) * 3
+        h = 4 + (rid % 4) * 3
+        i = np.arange(w * h * 3, dtype=np.int64)
+        px = (rid * 37 + (i // 3) * 13 + (i % 3) * 5) % 256
+        r = rows[f"p-{rid:09d}"]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["r_sum"] == int(px[i % 3 == 0].sum())
+        assert r["b_sum"] == int(px[i % 3 == 2].sum())
+        assert r["px_min"] == int(px.min()) and r["px_max"] == int(px.max())
