@@ -1,0 +1,81 @@
+"""True spark-submit --py-files e2e under a MULTI-EXECUTOR topology.
+
+The north rule says the job runs "via spark-submit --py-files on a
+multi-executor cluster". This test does exactly that — packages the engine
+into a zip, launches the real spark-submit binary against a
+local-cluster[2,1,2048] master (two SEPARATE executor JVMs, serialized
+inter-process shuffle), builds the tier cascade with compression +
+codec verification, and then re-runs to prove checkpoint/resume skips the
+completed partitions. No driver-embedded executors anywhere in this path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit binary not found"
+)
+
+
+def _zip_engine(dst: str) -> str:
+    zpath = os.path.join(dst, "ingestr_spark.zip")
+    pkg = os.path.join(REPO, "ingestr_spark")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def _submit(zpath: str, tok_path: str, store: str) -> dict:
+    out = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master", "local-cluster[2,1,2048]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--py-files", zpath,
+            os.path.join(REPO, "ingestr_spark", "pipeline.py"),
+            "--input", tok_path,
+            "--store", store,
+            "--tiers", "1h,1d,1mo",
+            "--compress", "--verify-codec",
+        ],
+        capture_output=True, text=True, timeout=600,
+        cwd="/tmp",  # NOT the repo: only the zip provides the package
+        env={**os.environ, "PYSPARK_PYTHON": sys.executable},
+    )
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    assert lines, f"no JSON result line; stderr tail: {out.stderr[-3000:]}"
+    return json.loads(lines[-1])
+
+
+def test_spark_submit_pyfiles_multi_executor(spark, tok, tmp_path):
+    tok_path = str(tmp_path / "tok_parquet")
+    tok.limit(20000).write.parquet(tok_path)
+    zpath = _zip_engine(str(tmp_path))
+    store = str(tmp_path / "store")
+
+    res = _submit(zpath, tok_path, store)
+    assert all(n > 0 for n in res["built_partitions"].values()), res
+    assert res["codec_roundtrip_ok"] == {"1h": True, "1d": True, "1mo": True}
+
+    # resume: a second submit (fresh driver + executors) finds the manifest
+    # and rebuilds NOTHING
+    res2 = _submit(zpath, tok_path, store)
+    assert res2["built_partitions"] == {"1h": 0, "1d": 0, "1mo": 0}
