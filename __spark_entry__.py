@@ -1028,6 +1028,31 @@ def _audit_union_with_id(spark, sf_dir):
     )
 
 
+def q_raster_bilinear(spark, sf_dir):
+    """S3 raster point extraction, Spark-first: the raster is a cell table
+    (band, ix, iy, value), each point derives its 4 corner indices +
+    bilinear weights as a projection, corners broadcast-equi-join the cell
+    table, and the weighted sum is one fixed-operand-order expression
+    (engine/partitioning independent). Fully-outside points return NULL
+    like terra's NA (reference: terra::extract(method='bilinear'),
+    R/ingest_globalfields.R:1185-1303)."""
+    from ingestr_spark.operators.raster import (
+        GridGeoref,
+        extract_points_bilinear,
+        synth_raster,
+    )
+
+    apply_engine_conf(spark)
+    georef = GridGeoref(0.25, 0.25, 0.5, 0.5, 100, 80)
+    grid = synth_raster(spark, georef, bands=2)
+    pts = spark.range(200).select(
+        F.format_string("pt-%04d", "id").alias("sitename"),
+        ((F.col("id") * 731 % 5210).cast("double") / 100.0).alias("lon"),
+        ((F.col("id") * 389 % 4120).cast("double") / 100.0).alias("lat"),
+    )
+    return extract_points_bilinear(pts, grid, georef)
+
+
 def q_expand_grid_months(spark, sf_dir):
     """R5 expand.grid: years × months grid left-joined with per-cell token
     counts (absent cells kept as 0)."""
@@ -1139,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_tier_long": q_unpivot_tier_long,
         "reconstruct_hourly_tier": q_reconstruct_hourly_tier,
         "expand_grid_months": q_expand_grid_months,
+        "raster_bilinear": q_raster_bilinear,
     }
 
 
@@ -1192,4 +1218,5 @@ def oracle_sql() -> dict[str, str]:
         "unpivot_tier_long": oracles.UNPIVOT_TIER_LONG,
         "reconstruct_hourly_tier": oracles.RECONSTRUCT_HOURLY_TIER,
         "expand_grid_months": oracles.EXPAND_GRID_MONTHS,
+        "raster_bilinear": oracles.RASTER_BILINEAR,
     }

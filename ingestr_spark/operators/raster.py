@@ -1,0 +1,116 @@
+"""Raster point extraction (SURVEY §2.1 S3) — Spark-first.
+
+The reference loads a NetCDF/GeoTIFF brick with terra and runs
+``terra::extract(method="bilinear")`` per site
+(R/ingest_globalfields.R:1185-1303). The Spark reformulation treats the
+raster as what it is at 100 TB scale: a TABLE of grid cells
+``(band, ix, iy, value)`` (one row per cell — how gridded data lands in a
+lakehouse), and point extraction as a broadcast equi-join:
+
+1. each point derives its 4 neighbouring cell indices + bilinear weights as
+   a pure projection (no data touched),
+2. corners explode to 4 rows and equi-join the cell table on (ix, iy) —
+   the tiny point side broadcasts, the raster side is never shuffled,
+3. the 4 corner values fold back per point with conditional aggregation
+   (exact — integer cell values), and the weighted sum is ONE fixed-order
+   float expression, so the result is bit-identical on any engine or
+   partitioning (a bare SUM over the 4 joined rows would be
+   order-dependent).
+
+Points outside the grid (any missing corner) yield NULL, like terra's NA.
+The reference's ``get_time`` wide→long unpivot is the existing R1 operator
+(operators/reshape.py::unpivot) applied to multi-band output.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class GridGeoref:
+    """Regular grid georeferencing: cell CENTER (ix, iy) sits at
+    (x0 + ix*dx, y0 + iy*dy); valid indices 0..nx-1 / 0..ny-1."""
+    x0: float
+    y0: float
+    dx: float
+    dy: float
+    nx: int
+    ny: int
+
+
+def synth_raster(spark, georef: GridGeoref, bands: int = 1) -> DataFrame:
+    """Deterministic synthetic raster table: cell (band, ix, iy) holds the
+    integer value (band*7 + ix*13 + iy*17) % 1000 — pure int arithmetic,
+    reproduced exactly by the DuckDB oracle."""
+    return (
+        spark.range(bands * georef.nx * georef.ny)
+        .select(
+            (F.col("id") % bands).cast("int").alias("band"),
+            (F.expr(f"id div {bands}") % georef.nx).cast("int").alias("ix"),
+            (F.expr(f"id div {bands * georef.nx}")).cast("int").alias("iy"),
+        )
+        .withColumn(
+            "value",
+            ((F.col("band") * 7 + F.col("ix") * 13 + F.col("iy") * 17) % 1000)
+            .cast("long"),
+        )
+    )
+
+
+def extract_points_bilinear(
+    points: DataFrame,
+    grid: DataFrame,
+    georef: GridGeoref,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Bilinear extraction of every point against every band of ``grid``.
+
+    Output: point columns + (band, value) with
+    value = v00*(1-fx)*(1-fy) + v10*fx*(1-fy) + v01*(1-fx)*fy + v11*fx*fy
+    evaluated in exactly that operand order (mirrored by the DuckDB oracle).
+    NULL when any corner falls outside the grid."""
+    fx_raw = (F.col(lon_col) - F.lit(georef.x0)) / F.lit(georef.dx)
+    fy_raw = (F.col(lat_col) - F.lit(georef.y0)) / F.lit(georef.dy)
+    p = points.withColumn("_ix0", F.floor(fx_raw).cast("int")).withColumn(
+        "_iy0", F.floor(fy_raw).cast("int")
+    ).withColumn("_fx", fx_raw - F.col("_ix0")).withColumn(
+        "_fy", fy_raw - F.col("_iy0")
+    )
+    # 4 corner rows per point: corner c in {0,1,2,3} = (dx_bit, dy_bit)
+    corners = p.select(
+        "*",
+        F.explode(F.array(*[F.lit(c) for c in range(4)])).alias("_c"),
+    ).withColumn("ix", (F.col("_ix0") + F.col("_c") % 2).cast("int")).withColumn(
+        "iy", (F.col("_iy0") + F.expr("_c div 2")).cast("int")
+    )
+    joined = F.broadcast(corners).join(grid, ["ix", "iy"], "inner")
+    point_cols = points.columns
+    gathered = joined.groupBy(*point_cols, "_fx", "_fy", "band").agg(
+        F.count(F.lit(1)).alias("_n_corners"),
+        *[
+            F.max(F.when(F.col("_c") == c, F.col("value"))).alias(f"_v{c}")
+            for c in range(4)
+        ],
+    )
+    val = (
+        F.col("_v0") * (1 - F.col("_fx")) * (1 - F.col("_fy"))
+        + F.col("_v1") * F.col("_fx") * (1 - F.col("_fy"))
+        + F.col("_v2") * (1 - F.col("_fx")) * F.col("_fy")
+        + F.col("_v3") * F.col("_fx") * F.col("_fy")
+    )
+    extracted = gathered.select(
+        *point_cols,
+        "band",
+        F.when(F.col("_n_corners") == 4, val).alias("value"),
+    )
+    # re-attach points whose every corner missed the grid (the inner join
+    # dropped them): left-join the small point×band universe back — keeps
+    # the big raster side inner/broadcast-joined, and fully-outside points
+    # come back as NULL rows, matching terra's NA
+    universe = points.crossJoin(grid.select("band").distinct())
+    return universe.join(extracted, [*point_cols, "band"], "left")

@@ -2677,3 +2677,42 @@ FROM (
   )
 ) GROUP BY rid, w, h
 """
+
+
+# S3 raster bilinear point extraction (r4): cell values are pure integer
+# formula; fx/fy and the 4-term weighted sum use IDENTICAL IEEE operand
+# order on both engines (floor/div/sub/mul/add only — exact mirror class).
+# Any corner outside the 100x80 grid -> NULL, like terra's NA.
+# Spark: ingestr_spark/operators/raster.py::extract_points_bilinear.
+RASTER_BILINEAR = """
+WITH pts AS (
+  SELECT printf('pt-%04d', i) AS sitename,
+         CAST(i * 731 % 5210 AS DOUBLE) / 100.0 AS lon,
+         CAST(i * 389 % 4120 AS DOUBLE) / 100.0 AS lat
+  FROM (SELECT unnest(range(200)) AS i)
+),
+p2 AS (
+  SELECT sitename, lon, lat,
+    CAST(floor((lon - 0.25) / 0.5) AS INT) AS ix0,
+    CAST(floor((lat - 0.25) / 0.5) AS INT) AS iy0,
+    (lon - 0.25) / 0.5 - CAST(floor((lon - 0.25) / 0.5) AS INT) AS fx,
+    (lat - 0.25) / 0.5 - CAST(floor((lat - 0.25) / 0.5) AS INT) AS fy
+  FROM pts
+),
+c AS (
+  SELECT p2.*, CAST(b.range AS INT) AS band,
+    (ix0     BETWEEN 0 AND 99) AND (iy0     BETWEEN 0 AND 79) AS in0,
+    (ix0 + 1 BETWEEN 0 AND 99) AND (iy0     BETWEEN 0 AND 79) AS in1,
+    (ix0     BETWEEN 0 AND 99) AND (iy0 + 1 BETWEEN 0 AND 79) AS in2,
+    (ix0 + 1 BETWEEN 0 AND 99) AND (iy0 + 1 BETWEEN 0 AND 79) AS in3
+  FROM p2 CROSS JOIN range(2) b
+)
+SELECT sitename, lon, lat, band,
+  CASE WHEN in0 AND in1 AND in2 AND in3 THEN
+      ((band * 7 + ix0 * 13 + iy0 * 17) % 1000) * (1 - fx) * (1 - fy)
+    + ((band * 7 + (ix0 + 1) * 13 + iy0 * 17) % 1000) * fx * (1 - fy)
+    + ((band * 7 + ix0 * 13 + (iy0 + 1) * 17) % 1000) * (1 - fx) * fy
+    + ((band * 7 + (ix0 + 1) * 13 + (iy0 + 1) * 17) % 1000) * fx * fy
+  END AS value
+FROM c
+"""
