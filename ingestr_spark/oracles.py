@@ -487,8 +487,28 @@ FROM f GROUP BY 1
 # the faithful 8-bit rule (bit 0 MODLAND good, bits 3-4 CloudState clear,
 # bits 5-7 SCF_QC in {0,1} — R/gapfill_interpol.R:155-225) applied to the
 # actual FparLai_QC words, aggregated per year. This is bit arithmetic over
-# real reference data on both engines.
+# real reference data on both engines. The rows are baked into the SQL as
+# VALUES literals (read here, driver-side, when this module loads) so the
+# oracle needs NO filesystem access from DuckDB — the driver's connection
+# may restrict external file reads.
 GEE_SUBSET_CSV = "/root/reference/inst/extdata/CH-Lae_MCD15A3H_gee_subset.csv"
+
+
+def _gee_subset_values_sql() -> str:
+    import csv
+
+    try:
+        with open(GEE_SUBSET_CSV) as fh:
+            rows = list(csv.DictReader(fh))
+    except OSError:
+        # reference tree absent: fall back to the direct scan form
+        return f"SELECT * FROM read_csv('{GEE_SUBSET_CSV}', header=true)"
+    vals = ", ".join(
+        f"(DATE '{r['date']}', {int(r['Fpar'])}, {int(r['FparLai_QC'])})"
+        for r in rows
+    )
+    return f"SELECT * FROM (VALUES {vals}) t(date, Fpar, FparLai_QC)"
+
 
 _BITQC_MCD15A3H_REAL = f"""
 SELECT CAST(extract(year FROM date) AS VARCHAR) AS source,
@@ -499,7 +519,7 @@ FROM (
   SELECT date, Fpar,
     ((FparLai_QC >> 0) & 1) = 0 AND ((FparLai_QC >> 3) & 3) = 0
       AND ((FparLai_QC >> 5) & 7) IN (0, 1) AS ok
-  FROM read_csv('{GEE_SUBSET_CSV}', header=true)
+  FROM ({_gee_subset_values_sql()})
 ) GROUP BY 1
 """
 
