@@ -1050,7 +1050,7 @@ def q_raster_bilinear(spark, sf_dir):
         ((F.col("id") * 731 % 5210).cast("double") / 100.0).alias("lon"),
         ((F.col("id") * 389 % 4120).cast("double") / 100.0).alias("lat"),
     )
-    return extract_points_bilinear(pts, grid, georef)
+    return extract_points_bilinear(pts, grid, georef, bands=[0, 1])
 
 
 def q_expand_grid_months(spark, sf_dir):

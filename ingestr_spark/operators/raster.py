@@ -67,6 +67,7 @@ def extract_points_bilinear(
     georef: GridGeoref,
     lon_col: str = "lon",
     lat_col: str = "lat",
+    bands: list[int] | None = None,
 ) -> DataFrame:
     """Bilinear extraction of every point against every band of ``grid``.
 
@@ -111,6 +112,12 @@ def extract_points_bilinear(
     # re-attach points whose every corner missed the grid (the inner join
     # dropped them): left-join the small point×band universe back — keeps
     # the big raster side inner/broadcast-joined, and fully-outside points
-    # come back as NULL rows, matching terra's NA
-    universe = points.crossJoin(grid.select("band").distinct())
+    # come back as NULL rows, matching terra's NA. Pass ``bands`` on large
+    # grids — deriving it with distinct() costs a full raster scan.
+    if bands is not None:
+        spark = points.sparkSession
+        band_df = spark.createDataFrame([(int(b),) for b in bands], "band int")
+    else:
+        band_df = grid.select("band").distinct()
+    universe = points.crossJoin(band_df)
     return universe.join(extracted, [*point_cols, "band"], "left")
