@@ -307,11 +307,16 @@ def embedding_near_dup(
     sparse data). For the near-duplicate regime (high threshold) use
     :func:`embedding_near_dup_lsh`, which is sub-quadratic.
 
-    ``n_blocks`` defaults to ~sqrt(n) (one cheap count): the pair join's
-    SECOND equi-join keys on the single block id, so its parallelism is
-    capped at n_blocks tasks — a fixed n_blocks=8 pinned the whole O(n²)
-    compare stage to ≤8 tasks regardless of cluster width, and sqrt(n) also
-    keeps per-task memory (two blocks) flat as n grows.
+    ``n_blocks`` defaults to max(8, n/3000) (one cheap count): blocks of
+    ~3000 rows keep per-task memory flat (two blocks ≈ a few MB at dim 64)
+    while each GEMM stays large enough to amortize the per-task Arrow/
+    scheduler overhead — the round-3 sqrt(n) rule produced thousands of
+    ~70-row GEMMs at 5k vectors, so the stage was overhead-bound (measured
+    ~2x slower than 8 blocks at sf0.1). Task count is n_blocks(n_blocks+1)/2,
+    which grows quadratically with n — consistent with this being the
+    disclosed exact-regime O(n²) path (use the LSH variant at corpus
+    scale); the floor of 8 blocks (36 tasks) keeps small inputs wide enough
+    for a multi-core box.
 
     Dot products and norms are exact integer sums (order-independent →
     reproducible on any cluster); the final cosine is one float division.
@@ -329,7 +334,7 @@ def embedding_near_dup(
     if n_blocks is None:
         import math
 
-        n_blocks = max(8, math.isqrt(max(df.count(), 1)))
+        n_blocks = max(8, math.ceil(max(df.count(), 1) / 3000))
     spark = df.sparkSession
     pairs_bl = spark.createDataFrame(
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
