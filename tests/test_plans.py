@@ -156,3 +156,19 @@ def test_dim_scale_and_mean_scaling_broadcast(spark, tok):
     base = tok.select("source").distinct().withColumn("target", F.lit(100.0))
     d = tok.select("doc_id", "source", F.col("n_tok").cast("double").alias("v"))
     assert "BroadcastHashJoin" in _plan(mean_scaling(d, "v", base, "target", ["source"]))
+
+
+def test_rollup_tiers_union_reuses_1h_exchange(spark):
+    """The 4-tier union (rollup_tiers headline) claims raw is scanned ONCE:
+    the 1d/1w/1w_ref branches cascade from the same 1h aggregate, and AQE
+    must reuse that aggregate's exchange at runtime instead of recomputing
+    the raw scan + 1h rollup per branch (3 ReusedExchange nodes in the
+    final adaptive plan). Uses sf0.01 directly: the session-scoped cached
+    token fixture covers sf0.001, and cache substitution (InMemoryRelation)
+    would mask the production exchange-reuse behaviour under test."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["rollup_tiers"](spark, "/root/testdata/sf0.01")
+    df.collect()  # AQE reuse materializes in the FINAL adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 3, plan[:2000]
