@@ -121,7 +121,63 @@ def _unzigzag(u: int) -> int:
 # ---- timestamp codec: delta-of-delta ---------------------------------------
 
 def encode_timestamps(ts: np.ndarray) -> bytes:
-    """ts: int64 array (epoch seconds or any monotone int axis)."""
+    """ts: int64 array (epoch seconds or any monotone int axis).
+
+    Fully vectorized (r4): unlike the value codec, the dod bucket choice has
+    NO cross-point state, so every field (bucket-fused control+payload, or
+    a split control + 64-bit payload for the '1111' bucket, plus zero-run
+    fillers) is computed with numpy and assembled by :func:`_bit_assemble`.
+    Byte-identical to :func:`_encode_timestamps_scalar`
+    (equivalence-tested)."""
+    ts = np.asarray(ts, dtype=np.int64)
+    n = len(ts)
+    if n <= 2:
+        return _encode_timestamps_scalar(ts)
+    deltas = np.diff(ts)
+    dods = np.diff(deltas)
+    u64 = (1 << 64) - 1
+    field_vals: list[int] = [CODEC_VERSION, n, int(ts[0]) & u64,
+                             int(deltas[0]) & u64]
+    field_bits: list[int] = [8, 32, 64, 64]
+    nz = np.flatnonzero(dods)
+    if len(nz):
+        d = dods[nz]
+        z = (np.left_shift(d, 1) ^ np.right_shift(d, 63)).view(np.uint64)
+        gaps = np.diff(nz, prepend=-1) - 1
+        b0 = (d >= -64) & (d <= 63)
+        b1 = ~b0 & (d >= -256) & (d <= 255)
+        b2 = ~b0 & ~b1 & (d >= -2048) & (d <= 2047)
+        big = ~(b0 | b1 | b2)
+        # small buckets fuse control+payload into one <=16-bit field; the
+        # '1111' bucket would need 68 bits, so it splits into a 4-bit
+        # control and a 64-bit payload (same bitstream)
+        zs = np.where(big, np.uint64(0), z)
+        fused = np.where(
+            b0, np.uint64(2 << 7) | zs,
+            np.where(b1, np.uint64(6 << 9) | zs,
+                     np.where(b2, np.uint64(14 << 12) | zs, np.uint64(0b1111))),
+        )
+        fused_bits = np.where(b0, 9, np.where(b1, 12, np.where(b2, 16, 4)))
+        pay = np.where(big, z, np.uint64(0))
+        pay_bits = np.where(big, 64, 0)
+        field_vals += np.column_stack(
+            (np.zeros(len(nz), dtype=np.uint64), fused, pay)
+        ).ravel().tolist()
+        field_bits += np.column_stack(
+            (gaps, fused_bits, pay_bits)
+        ).ravel().tolist()
+        tail = len(dods) - (int(nz[-1]) + 1)
+    else:
+        tail = len(dods)
+    if tail:
+        field_vals.append(0)
+        field_bits.append(tail)
+    return _bit_assemble(field_vals, field_bits)
+
+
+def _encode_timestamps_scalar(ts: np.ndarray) -> bytes:
+    """Scalar reference encoder (pre-round-4), kept as the bit-equality
+    oracle for the vectorized path."""
     ts = np.asarray(ts, dtype=np.int64)
     n = len(ts)
     w = _BitWriter()

@@ -183,3 +183,27 @@ def test_vectorized_encoder_bitequal_property():
         )
 
     check()
+
+
+def test_vectorized_ts_encoder_bitequal_property():
+    """Round-4 vectorized timestamp encoder is byte-identical to the scalar
+    reference on arbitrary int64 series (every dod bucket + zero runs)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import numpy as np
+
+    from ingestr_spark.compression.gorilla import (
+        _encode_timestamps_scalar,
+        decode_timestamps,
+        encode_timestamps,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(-2**40, 2**40), max_size=300))
+    def check(xs):
+        ts = np.array(xs, dtype=np.int64)
+        blob = encode_timestamps(ts)
+        assert blob == _encode_timestamps_scalar(ts)
+        assert np.array_equal(decode_timestamps(blob), ts)
+
+    check()
