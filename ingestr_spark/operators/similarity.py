@@ -151,6 +151,58 @@ def hyperplane_bucket(
     return df.withColumn(out, F.expr("CAST(" + " + ".join(terms) + " AS INT)"))
 
 
+def _ivf_assign_arrow(
+    df: DataFrame,
+    centroids: list[list[int]],
+    id_col: str,
+    vec_col: str,
+    with_norm: bool = False,
+):
+    """Arrow kernel: quantize + argmin-L2 cell assignment in ONE numpy pass
+    per batch. The SQL formulation (struct-array of per-centroid aggregate/
+    zip_with distances over an expression-defined ``q``) hits the same
+    Catalyst pathology as the round-3 LSH sketch: project-collapsing
+    re-expands the quantization transform into every one of the n_centroids
+    lambda bodies (no subexpression elimination inside lambdas) — measured
+    ~2x of the whole IVF query at 16 centroids. Here the distance matrix is
+    exact int64 (‖q‖² − 2·q@Cᵀ + ‖c‖², every term < 2^63) and np.argmin's
+    first-minimum rule IS the struct-ordering tie-break (smaller cell wins),
+    so results are bit-identical to the SQL form and the DuckDB mirror."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    cen = np.array(centroids, dtype=np.int64)
+    cen_nrm = (cen * cen).sum(axis=1)
+    id_t = df.schema[id_col].dataType
+    fields = [
+        T.StructField(id_col, id_t),
+        T.StructField("q", T.ArrayType(T.LongType())),
+        T.StructField("cell", T.IntegerType()),
+    ]
+    if with_norm:
+        fields.insert(2, T.StructField("nrm", T.LongType()))
+
+    def assign(batches):
+        for pdf in batches:
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64) * SCALE
+            # Spark/DuckDB round() is HALF-AWAY-FROM-ZERO; np.rint is
+            # half-even — mirror the engines exactly (|v| « 2^52, so the
+            # +0.5 add is exact at every representable tie)
+            qm = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(
+                np.int64
+            )
+            d = (qm * qm).sum(axis=1)[:, None] - 2 * (qm @ cen.T) + cen_nrm[None, :]
+            out = {id_col: pdf[id_col], "q": list(qm),
+                   "cell": np.argmin(d, axis=1).astype(np.int32)}
+            if with_norm:
+                out["nrm"] = (qm * qm).sum(axis=1)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, vec_col).mapInPandas(assign, T.StructType(fields))
+
+
 def _centroid_dist_structs(qcol: str, centroids: list[list[int]]):
     """Array<struct<d,i>> of (integer L2-squared distance to centroid c, c)
     — the argmin cell is array_min(...).i (struct ordering compares d
@@ -200,9 +252,7 @@ def ivf_build(
     seed_rows = q.orderBy(id_col).limit(n_centroids).collect()
     centroids = [[int(v) for v in r["q"]] for r in seed_rows]
     for _ in range(iters):
-        assigned = q.withColumn(
-            "cell", _centroid_dist_structs("q", centroids)
-        ).withColumn("cell", F.array_min("cell")["i"])
+        assigned = _ivf_assign_arrow(corpus, centroids, id_col, vec_col)
         upd = (
             assigned.select("cell", F.posexplode("q").alias("dim", "x"))
             .groupBy("cell", "dim")
@@ -216,9 +266,8 @@ def ivf_build(
             # Spark SQL's `div` and DuckDB's `//`
             new[r["cell"]][r["dim"]] = abs(s) // cnt * (1 if s >= 0 else -1)
         centroids = new
-    assigned = q.withColumn(
-        "cell", _centroid_dist_structs("q", centroids)
-    ).withColumn("cell", F.array_min("cell")["i"])
+    assigned = _ivf_assign_arrow(corpus, centroids, id_col, vec_col,
+                                 with_norm=True)
     return assigned, centroids
 
 
@@ -239,9 +288,6 @@ def ivf_topk(
     query ≈ nprobe/n_centroids of the corpus; recall vs brute force is
     measured in tests."""
     assigned, centroids = ivf_build(corpus, n_centroids, id_col=id_col, vec_col=vec_col)
-    assigned = assigned.withColumn(
-        "nrm", F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x * x)
-    )
     qd = _quantize(
         queries.select(query_id_col, F.col(vec_col).alias("_qv")), "_qv", "qq"
     )
