@@ -493,6 +493,72 @@ def _encode_values_scalar(vals: np.ndarray) -> bytes:
     return w.getvalue()
 
 
+_SPEC_OFFSETS = np.arange(16, dtype=np.int64)
+
+
+def _speculative_run_decode(
+    data: np.ndarray, pos: int, mlen: int, trail: int, cur: int,
+    out: np.ndarray, i: int, n: int, blen: int,
+):
+    """Decode a '10' run in bulk: ASSUME the next K fields are all
+    (2 + mlen)-bit '10' fields, extract each field's 16-byte window with ONE
+    2-D gather (viewed as two big-endian u64 lanes), verify the 2-bit
+    controls, keep the longest valid prefix, and XOR-scan the payloads into
+    ``out``. Returns (pos, cur, i) after the verified prefix — the caller's
+    scalar loop handles the first non-'10' control. Sound for any input:
+    nothing is consumed unless its control verified. Batches grow
+    geometrically (64 → ×8) so a SHORT run costs one small vector op, not a
+    64k-field control scan."""
+    W = 2 + mlen
+    batch = 64
+    while i < n:
+        k_max = min(n - i, (blen - pos) // W, batch)
+        batch = min(batch * 8, 1 << 16)
+        if k_max <= 0:
+            return pos, cur, i
+        starts = pos + W * np.arange(k_max, dtype=np.int64)
+        sb = starts >> 3
+        sr = (starts & 7).astype(np.uint64)
+        # one gather: each field's 16-byte window -> two big-endian u64s
+        win = np.ascontiguousarray(data[sb[:, None] + _SPEC_OFFSETS])
+        lanes = win.view(">u8").astype(np.uint64)
+        c1 = lanes[:, 0]
+        c2 = lanes[:, 1]
+        # the W-bit field left-aligned in a 64-bit word (W <= 66; control
+        # is the top 2 bits, payload the next mlen — payload never needs
+        # bits beyond 64+sr+2 <= 73 < 128)
+        hi = c1 << sr
+        lo = np.where(sr > 0, c2 >> (np.uint64(64) - sr), np.uint64(0))
+        field = hi | lo
+        ok = (field >> np.uint64(62)) == 2
+        first_bad = int(np.argmax(~ok))
+        k = k_max if ok.all() else first_bad
+        if k == 0:
+            return pos, cur, i
+        if mlen <= 62:
+            x = (field[:k] << np.uint64(2)) >> np.uint64(64 - mlen)
+        else:
+            # payload spills past the first 64 aligned bits: redo the
+            # extraction at q = s + 2 (rare window shapes)
+            q = starts[:k] + 2
+            qr = (q & 7).astype(np.uint64)
+            qb = q >> 3
+            win2 = np.ascontiguousarray(data[qb[:, None] + _SPEC_OFFSETS])
+            l2 = win2.view(">u8").astype(np.uint64)
+            hi2 = l2[:, 0] << qr
+            lo2 = np.where(qr > 0, l2[:, 1] >> (np.uint64(64) - qr), np.uint64(0))
+            x = (hi2 | lo2) >> np.uint64(64 - mlen)
+        # XOR cumulative scan: out_j = cur ^ x_1<<t ^ ... ^ x_j<<t
+        vals = np.bitwise_xor.accumulate(x << np.uint64(trail)) ^ np.uint64(cur)
+        out[i:i + k] = vals
+        cur = int(vals[-1])
+        i += k
+        pos += W * k
+        if k < k_max:
+            return pos, cur, i  # hit a non-'10' control — scalar takes over
+    return pos, cur, i
+
+
 def decode_values(blob: bytes) -> np.ndarray:
     r = _BitReader(blob)
     _check_version(r, "value")
@@ -506,8 +572,20 @@ def decode_values(blob: bytes) -> np.ndarray:
     # combines the control reads — '0' costs one 2-bit peek, '10' one peek +
     # one payload read, '11' one peek + one fused 11-bit lead/mlen read +
     # one payload read (was up to 5 method calls per point; ~2.5x decode).
+    # After each decoded '10'/'11' field the speculative bulk path hoovers
+    # the rest of the window run vectorized (_speculative_run_decode).
     data, pos = r.data, r.pos
     blen = 8 * len(data)
+    data_np = np.frombuffer(data + b"\x00" * 16, dtype=np.uint8)
+    # speculative-path gate: only engage the vector decoder after a few
+    # consecutive window fields (streak), so repeat-heavy series — whose
+    # '0' controls chop runs short — stay on the cheap scalar loop; and
+    # ADAPT: if the first calls keep finding short runs (below the numpy
+    # call-overhead break-even), disable the bulk path for this blob
+    streak = 0
+    spec_calls = 0
+    spec_consumed = 0
+    spec_on = True
     from_bytes = int.from_bytes
     lead, mlen, trail = 0, 0, 0
     i = 1
@@ -517,6 +595,7 @@ def decode_values(blob: bytes) -> np.ndarray:
             out[i:i + 8] = cur
             i += 8
             pos += 8
+            streak = 0
             continue
         end = pos + 2
         if end > blen:
@@ -529,6 +608,7 @@ def decode_values(blob: bytes) -> np.ndarray:
             pos += 1
             out[i] = cur
             i += 1
+            streak = 0
             continue
         last = (end + 7) >> 3
         c = (from_bytes(data[pos >> 3:last], "big") >> ((last << 3) - end)) & 3
@@ -536,6 +616,7 @@ def decode_values(blob: bytes) -> np.ndarray:
             pos += 1
             out[i] = cur
             i += 1
+            streak = 0
             continue
         pos = end
         if c == 3:  # '11': fused 5-bit lead + 6-bit mlen read
@@ -559,6 +640,17 @@ def decode_values(blob: bytes) -> np.ndarray:
         cur ^= x << trail
         out[i] = cur
         i += 1
+        streak += 1
+        if spec_on and streak >= 6 and i < n:
+            i0 = i
+            pos, cur, i = _speculative_run_decode(
+                data_np, pos, mlen, trail, cur, out, i, n, blen
+            )
+            streak = 0  # the bulk path stopped at a non-'10' control
+            spec_calls += 1
+            spec_consumed += i - i0
+            if spec_calls >= 8 and spec_consumed < 48 * spec_calls:
+                spec_on = False
     return out.view(np.float64)
 
 
