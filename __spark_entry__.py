@@ -1028,6 +1028,18 @@ def _audit_union_with_id(spark, sf_dir):
     )
 
 
+def q_quantiles_ntok(spark, sf_dir):
+    """EXACT distributed quantiles (type-1 / lower discrete) of n_tok per
+    source via the counting method — groupBy(key, value) + cumulative
+    window over the bounded value DOMAIN (never over rows), so the operator
+    is exact at any row scale where percentile_approx would be a sketch.
+    DuckDB mirrors the counting construction operator-for-operator."""
+    from ingestr_spark.operators.quantiles import exact_quantiles
+
+    t = _tok(spark, sf_dir)
+    return exact_quantiles(t, ["source"], "n_tok", qs=(0.1, 0.5, 0.9, 0.99))
+
+
 def q_raster_bilinear(spark, sf_dir):
     """S3 raster point extraction, Spark-first: the raster is a cell table
     (band, ix, iy, value), each point derives its 4 corner indices +
@@ -1165,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reconstruct_hourly_tier": q_reconstruct_hourly_tier,
         "expand_grid_months": q_expand_grid_months,
         "raster_bilinear": q_raster_bilinear,
+        "quantiles_ntok": q_quantiles_ntok,
     }
 
 
@@ -1219,4 +1232,5 @@ def oracle_sql() -> dict[str, str]:
         "reconstruct_hourly_tier": oracles.RECONSTRUCT_HOURLY_TIER,
         "expand_grid_months": oracles.EXPAND_GRID_MONTHS,
         "raster_bilinear": oracles.RASTER_BILINEAR,
+        "quantiles_ntok": oracles.QUANTILES_NTOK,
     }

@@ -2736,3 +2736,27 @@ SELECT sitename, lon, lat, band,
   END AS value
 FROM c
 """
+
+
+# exact type-1 quantiles of n_tok per source (r4): the counting method
+# mirrored operator-for-operator — per-(source, value) counts, cumulative
+# window ordered by value, threshold ceil(q*n) with IDENTICAL operand order
+# (double multiply, ceil to integer, integer compare on both engines).
+# Spark: ingestr_spark/operators/quantiles.py::exact_quantiles.
+QUANTILES_NTOK = f"""WITH {TOKENS_CTE},
+c AS (SELECT source, n_tok AS v, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+w AS (
+  SELECT source, v,
+         CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM c
+),
+e AS (
+  SELECT w.*, q FROM w
+  CROSS JOIN (SELECT unnest([0.1, 0.5, 0.9, 0.99]) AS q)
+)
+SELECT source, q, CAST(MIN(v) AS INT) AS quantile, CAST(MAX(n) AS BIGINT) AS n
+FROM e
+WHERE cum >= CAST(ceil(q * CAST(n AS DOUBLE)) AS BIGINT)
+GROUP BY source, q
+"""

@@ -325,3 +325,38 @@ def test_local_session_sets_driver_heap(spark):
     driver-heap setting — the 1g JVM default dies reading the 24M-row
     bench table."""
     assert spark.conf.get("spark.driver.memory") == "20g"
+
+
+def test_exact_quantiles_hand_computed(spark):
+    """Type-1 (lower discrete) quantile semantics on a hand-checked set
+    with duplicates: q-quantile = smallest v with cum-count >= ceil(q*n)."""
+    from ingestr_spark.operators.quantiles import exact_quantiles
+
+    vals = [1, 1, 2, 3, 3, 3, 7, 10, 10, 50]  # n = 10
+    df = spark.createDataFrame([("a", v) for v in vals], "k string, v int")
+    out = {r["q"]: (r["quantile"], r["n"])
+           for r in exact_quantiles(df, ["k"], "v",
+                                    qs=(0.1, 0.25, 0.5, 0.9, 1.0)).collect()}
+    assert out[0.1] == (1, 10)    # ceil(1) = 1st value
+    assert out[0.25] == (2, 10)   # ceil(2.5) = 3rd value
+    assert out[0.5] == (3, 10)    # 5th value
+    assert out[0.9] == (10, 10)   # 9th value
+    assert out[1.0] == (50, 10)   # max
+    # matches numpy's inverted_cdf (type-1) definition
+    import numpy as np
+
+    for q in (0.1, 0.25, 0.5, 0.9, 1.0):
+        assert out[q][0] == int(np.percentile(vals, q * 100,
+                                              method="inverted_cdf"))
+
+
+def test_exact_quantiles_partitioning_invariant(spark, tok):
+    """Same result on 1 and 13 partitions (the counting construction is
+    order-independent)."""
+    from ingestr_spark.operators.quantiles import exact_quantiles
+
+    a = exact_quantiles(tok.coalesce(1), ["source"], "n_tok").collect()
+    b = exact_quantiles(tok.repartition(13), ["source"], "n_tok").collect()
+    key = lambda r: (r["source"], r["q"])
+    assert sorted(((key(r), r["quantile"], r["n"]) for r in a)) == \
+           sorted(((key(r), r["quantile"], r["n"]) for r in b))
