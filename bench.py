@@ -70,9 +70,10 @@ HEADLINE = [
     "embedding_neardup_pair",
     "ann_topk_both",
     # r4 additions (disclosed in BENCH/BASELINE.md: the headline total is
-    # not 1:1 comparable to r3's because these two are newly timed)
+    # not 1:1 comparable to r3's because these three are newly timed)
     "ann_topk_ivf",
     "raster_bilinear",
+    "quantiles_ntok",
 ]
 
 
@@ -412,8 +413,9 @@ def write_bench_md(scaling: dict, queries: dict[str, float]) -> None:
         "(+zero/lag2). Composites run MORE work than the r02 queries they",
         "absorb, so walls are not comparable 1:1 round-over-round. The",
         "dedup/ANN hot paths now carry timings (VERDICT r2 #9). Round 4",
-        "adds ann_topk_ivf (now oracle-backed) and raster_bilinear to the",
-        "headline set, so the r4 total includes ~2-3 s of newly timed work.",
+        "adds ann_topk_ivf (now oracle-backed), raster_bilinear, and",
+        "quantiles_ntok to the headline set, so the r4 total includes a few",
+        "seconds of newly timed work.",
         "",
         "| query | sec |",
         "|---|---|",
