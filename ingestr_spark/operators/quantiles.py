@@ -31,14 +31,25 @@ def exact_quantiles(
     key_cols: list[str],
     value_col: str,
     qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Exact type-1 (lower discrete) quantiles of ``value_col`` per key.
 
     Output: key_cols + (q double, quantile <value type>, n long). Safe at
     10^12 rows when the value domain is bounded: the window runs over the
-    (key, distinct-value) table."""
+    (key, distinct-value) table.
+
+    ``weight_col`` (integer weights, e.g. a tier's ``n_seq``) switches the
+    per-value count to a weight SUM — the quantile of the EXPANDED
+    population in which each row occurs weight times, without expanding
+    anything (how a rolled-up tier answers population quantiles for
+    metrics its grouping preserved)."""
+    w_agg = (
+        F.count(F.lit(1)) if weight_col is None
+        else F.sum(weight_col).cast("long")
+    )
     counts = df.groupBy(*key_cols, F.col(value_col).alias("_v")).agg(
-        F.count(F.lit(1)).alias("_c")
+        w_agg.alias("_c")
     )
     w = Window.partitionBy(*key_cols).orderBy("_v")
     cum = counts.withColumn("_cum", F.sum("_c").over(w)).withColumn(

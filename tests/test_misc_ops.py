@@ -360,3 +360,21 @@ def test_exact_quantiles_partitioning_invariant(spark, tok):
     key = lambda r: (r["source"], r["q"])
     assert sorted(((key(r), r["quantile"], r["n"]) for r in a)) == \
            sorted(((key(r), r["quantile"], r["n"]) for r in b))
+
+
+def test_exact_quantiles_weighted_matches_expanded(spark):
+    """Weighted quantiles == unweighted quantiles of the weight-expanded
+    population (the tier-row use case: each row stands for n_seq rows)."""
+    from ingestr_spark.operators.quantiles import exact_quantiles
+
+    rows = [("a", 1, 3), ("a", 5, 1), ("a", 9, 6), ("b", 2, 2), ("b", 4, 2)]
+    df = spark.createDataFrame(rows, "k string, v int, w int")
+    expanded = spark.createDataFrame(
+        [(k, v) for k, v, w in rows for _ in range(w)], "k string, v int"
+    )
+    qs = (0.1, 0.5, 0.9, 1.0)
+    got = {(r["k"], r["q"]): (r["quantile"], r["n"])
+           for r in exact_quantiles(df, ["k"], "v", qs, weight_col="w").collect()}
+    want = {(r["k"], r["q"]): (r["quantile"], r["n"])
+            for r in exact_quantiles(expanded, ["k"], "v", qs).collect()}
+    assert got == want
