@@ -223,6 +223,14 @@ def decode_timestamps(blob: bytes) -> np.ndarray:
     r = _BitReader(blob)
     _check_version(r, "timestamp")
     n = r.read(32)
+    # plausibility guard BEFORE allocating: every point costs >= 1 bit, so
+    # a corrupt count larger than the blob's bit length would otherwise
+    # demand an absurd allocation (2^32 points = 32 GB) before the bounds
+    # checks could fire
+    if n > 8 * len(blob):
+        raise ValueError(
+            f"truncated blob: header count {n} exceeds {8 * len(blob)} bits"
+        )
     out = np.empty(n, dtype=np.int64)
     if n == 0:
         return out
@@ -232,7 +240,10 @@ def decode_timestamps(blob: bytes) -> np.ndarray:
         return out
     d = r.read(64)
     delta = d - (1 << 64) if d >= (1 << 63) else d
-    out[1] = out[0] + delta
+    try:
+        out[1] = out[0] + delta
+    except OverflowError as e:
+        raise ValueError("corrupt blob: value out of int64 range") from e
     # Inlined bit reader (r4, same rework as decode_values): one ≤4-bit
     # control peek picks the dod bucket (prefix '0'/'10'/'110'/'1110'/
     # '1111'), then one payload read — was up to 5 read() calls per point.
@@ -242,11 +253,22 @@ def decode_timestamps(blob: bytes) -> np.ndarray:
     _PAYLOAD = (0, 7, 9, 12, 64)
     prev = int(out[1])
     i = 2
+    try:
+        return _decode_ts_loop(data, pos, blen, n, delta, prev, out, i)
+    except OverflowError as e:
+        # only corrupt payloads can push the accumulators outside int64
+        # (valid encodes of int64 inputs round-trip in range)
+        raise ValueError("corrupt blob: value out of int64 range") from e
+
+
+def _decode_ts_loop(data, pos, blen, n, delta, prev, out, i):
+    from_bytes = int.from_bytes
+    _PAYLOAD = (0, 7, 9, 12, 64)
     while i < n:
         # fast path mirroring the encoder's zero-run bulk writes: at a
         # control-bit position, a 0x00 byte is exactly eight '0' controls
         # (eight dod=0 points) — consume them without per-bit reads
-        if pos & 7 == 0 and i + 8 <= n and data[pos >> 3] == 0:
+        if pos & 7 == 0 and i + 8 <= n and pos < blen and data[pos >> 3] == 0:
             for _ in range(8):
                 prev += delta
                 out[i] = prev
@@ -563,6 +585,10 @@ def decode_values(blob: bytes) -> np.ndarray:
     r = _BitReader(blob)
     _check_version(r, "value")
     n = r.read(32)
+    if n > 8 * len(blob):  # see decode_timestamps: pre-allocation guard
+        raise ValueError(
+            f"truncated blob: header count {n} exceeds {8 * len(blob)} bits"
+        )
     out = np.empty(n, dtype=np.uint64)
     if n == 0:
         return out.view(np.float64)
@@ -591,7 +617,7 @@ def decode_values(blob: bytes) -> np.ndarray:
     i = 1
     while i < n:
         # zero-byte fast path: eight '0' controls = eight repeated values
-        if pos & 7 == 0 and i + 8 <= n and data[pos >> 3] == 0:
+        if pos & 7 == 0 and i + 8 <= n and pos < blen and data[pos >> 3] == 0:
             out[i:i + 8] = cur
             i += 8
             pos += 8
@@ -637,7 +663,9 @@ def decode_values(blob: bytes) -> np.ndarray:
             (1 << mlen) - 1
         )
         pos = end
-        cur ^= x << trail
+        # mask to 64 bits: a no-op for valid blobs (trail+mlen <= 64), and
+        # keeps a corrupt '11' meta from overflowing the uint64 assignment
+        cur = (cur ^ (x << trail)) & 0xFFFFFFFFFFFFFFFF
         out[i] = cur
         i += 1
         streak += 1

@@ -207,3 +207,42 @@ def test_vectorized_ts_encoder_bitequal_property():
         assert np.array_equal(decode_timestamps(blob), ts)
 
     check()
+
+
+def test_gorilla_decoders_fuzz_clean_errors():
+    """Random and mutated blobs: ValueError or a successful parse — never a
+    crash, hang, or giant allocation from a corrupt header count."""
+    import numpy as np
+    import pytest
+
+    from ingestr_spark.compression.gorilla import (
+        decode_timestamps,
+        decode_values,
+        encode_timestamps,
+        encode_values,
+    )
+
+    rng = np.random.default_rng(31)
+    ts_blob = encode_timestamps(np.arange(0, 6000, 60, dtype=np.int64))
+    v_blob = encode_values(np.round(rng.normal(0, 1, 100), 2))
+    for _ in range(300):
+        blob = bytes(rng.integers(0, 256, int(rng.integers(0, 80)),
+                                  dtype=np.uint8))
+        for dec in (decode_timestamps, decode_values):
+            try:
+                dec(blob)
+            except ValueError:
+                pass
+    for blob, dec in ((ts_blob, decode_timestamps), (v_blob, decode_values)):
+        for _ in range(300):
+            b = bytearray(blob)
+            b[int(rng.integers(0, len(b)))] ^= int(rng.integers(1, 256))
+            try:
+                dec(bytes(b))
+            except ValueError:
+                pass
+    # explicit giant-count header: version 2 + count 2^32-1 + nothing
+    evil = bytes([2]) + b"\xff\xff\xff\xff" + b"\x00" * 8
+    for dec in (decode_timestamps, decode_values):
+        with pytest.raises(ValueError, match="header count"):
+            dec(evil)

@@ -394,3 +394,53 @@ def test_mixed_format_image_stats(spark):
         assert r["r_sum"] == int(px[i % 3 == 0].sum())
         assert r["b_sum"] == int(px[i % 3 == 2].sum())
         assert r["px_min"] == int(px.min()) and r["px_max"] == int(px.max())
+
+
+def test_media_decoders_fuzz_clean_errors():
+    """Random/truncated/mutated payloads must produce ValueError (caught
+    per-row by the extractors as decode_ok=false) — never a hang, an
+    IndexError, or a struct.error escaping to the task."""
+    import numpy as np
+
+    from ingestr_spark.operators.multimodal import (
+        decode_image,
+        decode_png,
+        decode_ppm,
+        decode_wav,
+        encode_png,
+        encode_ppm,
+        encode_wav_pcm16,
+    )
+
+    rng = np.random.default_rng(23)
+    valid = {
+        "png": encode_png(rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)),
+        "ppm": encode_ppm(rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)),
+        "wav": encode_wav_pcm16(rng.integers(-100, 100, 64).astype(np.int16)),
+    }
+    decoders = {"png": decode_png, "ppm": decode_ppm, "wav": decode_wav}
+
+    for _ in range(300):
+        blob = bytes(rng.integers(0, 256, int(rng.integers(0, 120)),
+                                  dtype=np.uint8))
+        for dec in (*decoders.values(), decode_image):
+            try:
+                dec(blob)
+            except ValueError:
+                pass  # the contract
+
+    for kind, blob in valid.items():
+        dec = decoders[kind]
+        for _ in range(200):
+            b = bytearray(blob)
+            op = rng.integers(0, 3)
+            if op == 0 and len(b) > 1:           # truncate
+                b = b[: int(rng.integers(1, len(b)))]
+            elif op == 1:                         # flip a byte
+                b[int(rng.integers(0, len(b)))] ^= int(rng.integers(1, 256))
+            else:                                 # garbage suffix
+                b += bytes(rng.integers(0, 256, 8, dtype=np.uint8))
+            try:
+                dec(bytes(b))
+            except ValueError:
+                pass  # the contract: clean error or a successful parse
