@@ -16,12 +16,19 @@ Time Series Database", §4.1):
 NaN encodes fine (it's just a bit pattern; NaN XOR NaN == 0). Round-trip is
 bit-exact on float64 — asserted by tests incl. a hypothesis property.
 
-Scale design: encoding is inherently sequential per series, so it runs as a
-grouped pandas UDF over (key, chunk) — one Arrow batch per chunk, bounded
-chunk length keeps executor memory flat (SURVEY §7.3-5). The bit loop is
-pure Python over numpy-prepared deltas/XORs; at true 10^12 scale this would
-be the one component worth a native (Scala/C) kernel, but the interface
-(binary columns per chunk in the aggregate table) would not change.
+Scale design: the codecs run as grouped pandas UDFs over (key, chunk) —
+one Arrow batch per chunk, bounded chunk length keeps executor memory flat
+(SURVEY §7.3-5). Round 4 vectorized both directions: ENCODE walks window
+RESTARTS (bounded at ~95 per blob — the Gorilla window only widens) and
+emits whole '10' runs with numpy, assembled by a word-level bit packer;
+the timestamp encoder is fully vectorized (no cross-point state); DECODE
+pairs an inlined fused-control scalar loop with a speculative bulk path
+that extracts strided '10' runs vectorized, verifies controls before
+consuming, and adaptively disables itself below its call-overhead
+break-even. 6-9 Mpt/s encode / 1.3-19 Mpt/s decode (PERF.md) — a native
+(Scala/C) kernel remains the further upgrade path, interface unchanged.
+Scalar reference encoders are retained and byte-equality is
+hypothesis-tested, so CODEC_VERSION stays 2.
 """
 
 from __future__ import annotations
