@@ -232,13 +232,19 @@ def run_scaling() -> dict:
     try:
         with open(cache) as f:
             prior = json.load(f)
-        for c in (*levels, *xc_levels):
-            pw = prior.get("round_walls", {}).get(str(c))
-            if pw is None:
+        # merge over the UNION of probed and previously-cached levels so a
+        # partial run (e.g. SPARK_GRAFT_XC=0) never erases another level
+        # family's accumulated history; cached keys are strings — map
+        # numeric ones back to the int thread-level keys
+        prior_walls = prior.get("round_walls", {})
+        for key, pw in prior_walls.items():
+            c = int(key) if key.isdigit() else key
+            walls[c] = pw + walls.get(c, [])
+        for c in list(walls):
+            if str(c) not in prior_walls and str(c) in prior:
                 # migrate the pre-v3 scalar best as one synthetic sample so
                 # history isn't thrown away, then roll forward
-                pw = [prior[str(c)]] if str(c) in prior else []
-            walls[c] = pw + walls[c]
+                walls[c] = [prior[str(c)]] + walls[c]
         eff_1_4 = prior.get("round_eff_1_4", []) + eff_1_4
         eff_2_8 = prior.get("round_eff_2_8", []) + eff_2_8
         eff_xc = prior.get("round_eff_xc", []) + eff_xc

@@ -256,8 +256,6 @@ def decode_timestamps(blob: bytes) -> np.ndarray:
     # '1111'), then one payload read — was up to 5 read() calls per point.
     data, pos = r.data, r.pos
     blen = 8 * len(data)
-    from_bytes = int.from_bytes
-    _PAYLOAD = (0, 7, 9, 12, 64)
     prev = int(out[1])
     i = 2
     try:
@@ -373,7 +371,12 @@ def _bit_assemble(field_vals, field_bits) -> bytes:
     total = int(end[-1])
     start = end - fb
     nwords = (total + 63) >> 6
-    words = np.zeros(nwords + 1, dtype=np.uint64)
+    # +2, not +1: a zero-width field whose start lands exactly on `total`
+    # with total % 64 == 0 has widx == nwords, so the lo-lane scatter
+    # targets nwords + 1 (confirmed crash on a 90-point timestamp series
+    # whose final small-bucket field is zero-width) — both spill slots are
+    # all-zero and dropped by the [:nwords] slice
+    words = np.zeros(nwords + 2, dtype=np.uint64)
     widx = start >> 6
     off = start & 63
     spill = off + fb - 64  # bits of the field overflowing into word+1

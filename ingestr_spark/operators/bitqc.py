@@ -75,17 +75,30 @@ def read_gee_subset_csv(spark, path: str) -> DataFrame:
     """Scan a GEE point-extraction subset CSV (the reference's
     ``gee_subset`` download format: id, longitude, latitude, date, <band>,
     <band>_QC, product — inst/extdata/CH-Lae_MCD15A3H_gee_subset.csv is the
-    bundled real example; produced by R/ingest_gee_bysite.R). Types are
-    declared, not inferred: band values and QC words read as integers,
-    ``date`` as a proper date."""
-    df = (
-        spark.read.option("header", True)
-        .option("inferSchema", True)
-        .csv(path)
-    )
-    if "date" in df.columns:
-        df = df.withColumn("date", F.col("date").cast("date"))
-    return df
+    bundled real example; produced by R/ingest_gee_bysite.R). The schema is
+    DECLARED from a driver-side header read (one line — a catalog op), not
+    inferred: known metadata columns get their documented types and every
+    band/QC column reads as int — no inference pass over the data, and a
+    stray non-numeric cell nulls that cell instead of silently turning the
+    whole column into strings."""
+    import csv as _csv
+    import io as _io
+
+    from pyspark.sql import types as T
+
+    with open(path, newline="") as fh:
+        header = next(_csv.reader(_io.StringIO(fh.readline())))
+    known = {
+        "id": T.StringType(),
+        "product": T.StringType(),
+        "date": T.DateType(),
+        "longitude": T.DoubleType(),
+        "latitude": T.DoubleType(),
+    }
+    schema = T.StructType([
+        T.StructField(c, known.get(c, T.IntegerType())) for c in header
+    ])
+    return spark.read.option("header", True).schema(schema).csv(path)
 
 
 def apply_scale_factor(df: DataFrame, var: str, factor: float) -> DataFrame:

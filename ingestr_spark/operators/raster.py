@@ -17,7 +17,9 @@ lakehouse), and point extraction as a broadcast equi-join:
    partitioning (a bare SUM over the 4 joined rows would be
    order-dependent).
 
-Points outside the grid (any missing corner) yield NULL, like terra's NA.
+Points whose NONZERO-weight corners miss the grid yield NULL, like terra's
+NA; zero-weight off-grid corners (a point exactly on the last cell-center
+row/column) fold in as 0, so the outer half-cell ring reads correctly.
 The reference's ``get_time`` wide→long unpivot is the existing R1 operator
 (operators/reshape.py::unpivot) applied to multi-band output.
 """
@@ -74,7 +76,7 @@ def extract_points_bilinear(
     Output: point columns + (band, value) with
     value = v00*(1-fx)*(1-fy) + v10*fx*(1-fy) + v01*(1-fx)*fy + v11*fx*fy
     evaluated in exactly that operand order (mirrored by the DuckDB oracle).
-    NULL when any corner falls outside the grid."""
+    NULL when any NONZERO-weight corner falls outside the grid."""
     fx_raw = (F.col(lon_col) - F.lit(georef.x0)) / F.lit(georef.dx)
     fy_raw = (F.col(lat_col) - F.lit(georef.y0)) / F.lit(georef.dy)
     p = points.withColumn("_ix0", F.floor(fx_raw).cast("int")).withColumn(
@@ -98,16 +100,28 @@ def extract_points_bilinear(
             for c in range(4)
         ],
     )
+    fx, fy = F.col("_fx"), F.col("_fy")
+    weights = [(1 - fx) * (1 - fy), fx * (1 - fy), (1 - fx) * fy, fx * fy]
+    # a missing corner only invalidates the point when its weight is
+    # NONZERO: a point exactly on the last cell-center row/column (fx or fy
+    # == 0 at the grid edge) has well-defined bilinear value even though
+    # the off-grid corners "participate" with weight 0 — terra::extract
+    # returns data there, so must we (missing zero-weight corners fold in
+    # as 0, which cannot change the fixed-order sum)
+    valid = F.lit(True)
+    for c, w_c in enumerate(weights):
+        valid = valid & (F.col(f"_v{c}").isNotNull() | (w_c == 0))
+    v = [F.coalesce(F.col(f"_v{c}"), F.lit(0)) for c in range(4)]
     val = (
-        F.col("_v0") * (1 - F.col("_fx")) * (1 - F.col("_fy"))
-        + F.col("_v1") * F.col("_fx") * (1 - F.col("_fy"))
-        + F.col("_v2") * (1 - F.col("_fx")) * F.col("_fy")
-        + F.col("_v3") * F.col("_fx") * F.col("_fy")
+        v[0] * (1 - fx) * (1 - fy)
+        + v[1] * fx * (1 - fy)
+        + v[2] * (1 - fx) * fy
+        + v[3] * fx * fy
     )
     extracted = gathered.select(
         *point_cols,
         "band",
-        F.when(F.col("_n_corners") == 4, val).alias("value"),
+        F.when(valid, val).alias("value"),
     )
     # re-attach points whose every corner missed the grid (the inner join
     # dropped them): left-join the small point×band universe back — keeps

@@ -187,12 +187,18 @@ def _ivf_assign_arrow(
     def assign(batches):
         for pdf in batches:
             v = np.array(pdf[vec_col].tolist(), dtype=np.float64) * SCALE
-            # Spark/DuckDB round() is HALF-AWAY-FROM-ZERO; np.rint is
-            # half-even — mirror the engines exactly (|v| « 2^52, so the
-            # +0.5 add is exact at every representable tie)
-            qm = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(
-                np.int64
-            )
+            # Spark/DuckDB round() is HALF-AWAY-FROM-ZERO on the BINARY
+            # value; np.rint is half-even and floor(v + 0.5) is wrong one
+            # ulp below a tie (v = 0.49999999999999994: v + 0.5 rounds UP
+            # to 1.0 -> floor gives 1, engines give 0). Compare the exact
+            # fractional part instead: |v| - floor(|v|) is exact for
+            # |v| < 2^52, and a shortest-decimal tie ("x.5") occurs only
+            # when the binary value IS exactly x.5, so this matches Spark's
+            # BigDecimal HALF_UP too.
+            a = np.abs(v)
+            fl = np.floor(a)
+            mag = (fl + (a - fl >= 0.5)).astype(np.int64)
+            qm = np.where(v >= 0, mag, -mag)
             d = (qm * qm).sum(axis=1)[:, None] - 2 * (qm @ cen.T) + cen_nrm[None, :]
             out = {id_col: pdf[id_col], "q": list(qm),
                    "cell": np.argmin(d, axis=1).astype(np.int32)}

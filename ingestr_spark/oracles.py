@@ -500,13 +500,14 @@ def _gee_subset_values_sql() -> str:
     try:
         with open(GEE_SUBSET_CSV) as fh:
             rows = list(csv.DictReader(fh))
-    except OSError:
-        # reference tree absent: fall back to the direct scan form
+        vals = ", ".join(
+            f"(DATE '{r['date']}', {int(r['Fpar'])}, {int(r['FparLai_QC'])})"
+            for r in rows
+        )
+    except Exception:
+        # reference tree absent OR an unparseable cell: degrade to the
+        # direct-scan form instead of crashing every import of this module
         return f"SELECT * FROM read_csv('{GEE_SUBSET_CSV}', header=true)"
-    vals = ", ".join(
-        f"(DATE '{r['date']}', {int(r['Fpar'])}, {int(r['FparLai_QC'])})"
-        for r in rows
-    )
     return f"SELECT * FROM (VALUES {vals}) t(date, Fpar, FparLai_QC)"
 
 
@@ -2728,11 +2729,17 @@ c AS (
   FROM p2 CROSS JOIN range(2) b
 )
 SELECT sitename, lon, lat, band,
-  CASE WHEN in0 AND in1 AND in2 AND in3 THEN
-      ((band * 7 + ix0 * 13 + iy0 * 17) % 1000) * (1 - fx) * (1 - fy)
-    + ((band * 7 + (ix0 + 1) * 13 + iy0 * 17) % 1000) * fx * (1 - fy)
-    + ((band * 7 + ix0 * 13 + (iy0 + 1) * 17) % 1000) * (1 - fx) * fy
-    + ((band * 7 + (ix0 + 1) * 13 + (iy0 + 1) * 17) % 1000) * fx * fy
+  -- a missing corner only invalidates the point when its weight is
+  -- NONZERO (edge half-cell semantics, matching the Spark operator):
+  -- off-grid corners fold in as 0
+  CASE WHEN (in0 OR (1 - fx) * (1 - fy) = 0)
+        AND (in1 OR fx * (1 - fy) = 0)
+        AND (in2 OR (1 - fx) * fy = 0)
+        AND (in3 OR fx * fy = 0) THEN
+      (CASE WHEN in0 THEN (band * 7 + ix0 * 13 + iy0 * 17) % 1000 ELSE 0 END) * (1 - fx) * (1 - fy)
+    + (CASE WHEN in1 THEN (band * 7 + (ix0 + 1) * 13 + iy0 * 17) % 1000 ELSE 0 END) * fx * (1 - fy)
+    + (CASE WHEN in2 THEN (band * 7 + ix0 * 13 + (iy0 + 1) * 17) % 1000 ELSE 0 END) * (1 - fx) * fy
+    + (CASE WHEN in3 THEN (band * 7 + (ix0 + 1) * 13 + (iy0 + 1) * 17) % 1000 ELSE 0 END) * fx * fy
   END AS value
 FROM c
 """

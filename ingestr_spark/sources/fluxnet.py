@@ -99,14 +99,13 @@ def read_fluxnet_csv(
             *[F.lit(x) for kv in sorted(site_by_file.items()) for x in kv]
         )
         # input_file_name() is URI-encoded (spaces -> %20, non-ASCII ->
-        # %XX), so decode the basename before the lookup; the raw-basename
-        # fallback covers names where form-decoding would mangle a literal
-        # '+' (url_decode maps '+' -> ' ', but a URI never encodes a space
-        # as '+', so exactly one of the two forms matches the catalog key).
+        # %XX) but leaves literal '+' as-is, while url_decode form-decodes
+        # '+' to a space — so pre-encode '+' as %2B and the single
+        # url_decode handles every mix of literal '+' and %XX escapes
+        # (the earlier decoded/raw coalesce failed on names with BOTH).
         base = F.element_at(F.split(F.input_file_name(), "/"), -1)
-        df = df.withColumn(
-            "sitename", F.coalesce(mapping[F.url_decode(base)], mapping[base])
-        )
+        decoded = F.url_decode(F.regexp_replace(base, r"\+", "%2B"))
+        df = df.withColumn("sitename", mapping[decoded])
     elif sitename is not None:
         df = df.withColumn("sitename", F.lit(sitename))
     return df

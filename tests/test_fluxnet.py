@@ -239,8 +239,9 @@ def test_site_by_file_uri_encoded_basename(spark, tmp_path):
     names = {
         "FLX_AA Spc_FULLSET_DD.csv": "AA-Spc",   # space -> %20
         "FLX_BB%pc_FULLSET_DD.csv": "BB-Pct",    # literal % -> %25
-        "FLX_CC+pl_FULLSET_DD.csv": "CC-Plu",    # literal + (raw fallback)
+        "FLX_CC+pl_FULLSET_DD.csv": "CC-Plu",    # literal + (pre-encoded)
         "FLX_DDüni_FULLSET_DD.csv": "DD-Uni",    # non-ASCII -> %C3%BC
+        "FLX_EE+e f_FULLSET_DD.csv": "EE-Mix",   # BOTH literal + and %20
     }
     for fname in names:
         (tmp_path / fname).write_text(rows)

@@ -123,3 +123,22 @@ def test_subprocess_source_failure_surfaces_stderr(tmp_path):
         run_subprocess_source(
             [sys.executable, "-c", "pass"], str(tmp_path / "missing.csv")
         )
+
+
+def test_bilinear_edge_half_cell_defined(spark):
+    """A point exactly ON the last cell-center row/column has fx/fy == 0:
+    the off-grid corners carry weight 0, so the value is defined (terra
+    returns data in the outer half-cell ring — review r4 finding)."""
+    grid = synth_raster(spark, GEOREF, bands=1)
+    last_x = 0.25 + 9 * 0.5   # ix0 = 9 = nx-1, fx = 0
+    last_y = 0.25 + 7 * 0.5   # iy0 = 7 = ny-1, fy = 0
+    pts = spark.createDataFrame(
+        [("corner_cell", last_x, last_y), ("edge_col", last_x, 1.25),
+         ("edge_row", 1.25, last_y)],
+        "sitename string, lon double, lat double",
+    )
+    got = {r["sitename"]: r["value"]
+           for r in extract_points_bilinear(pts, grid, GEOREF).collect()}
+    assert got["corner_cell"] == pytest.approx(_cell(0, 9, 7))
+    assert got["edge_col"] == pytest.approx(_cell(0, 9, 2))
+    assert got["edge_row"] == pytest.approx(_cell(0, 2, 7))
