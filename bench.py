@@ -74,6 +74,10 @@ HEADLINE = [
     "ann_topk_ivf",
     "raster_bilinear",
     "quantiles_ntok",
+    # r5 (VERDICT r4 #1): the Gorilla codec round-trip is the one
+    # rule-mandated component whose perf regressions the per-round bench
+    # diff couldn't previously see — time its full encode+decode+verify path
+    "codec_roundtrip_1d",
 ]
 
 
@@ -421,7 +425,9 @@ def write_bench_md(scaling: dict, queries: dict[str, float]) -> None:
         "dedup/ANN hot paths now carry timings (VERDICT r2 #9). Round 4",
         "adds ann_topk_ivf (now oracle-backed), raster_bilinear, and",
         "quantiles_ntok to the headline set, so the r4 total includes a few",
-        "seconds of newly timed work.",
+        "seconds of newly timed work. Round 5 adds codec_roundtrip_1d (the",
+        "Gorilla encode→decode→verify path over the 1d tier) so codec perf",
+        "regressions are visible in the round-over-round bench diff.",
         "",
         "| query | sec |",
         "|---|---|",
@@ -469,8 +475,28 @@ def main() -> None:
         out["scaling_efficiency_paired_median"] = scaling["efficiency_1_to_4_median"]
         out["scaling_efficiency_best"] = scaling["efficiency_1_to_4_best"]
         out["scaling_efficiency_2_to_8_median"] = scaling["efficiency_2_to_8_median"]
-        out["scaling"] = scaling
-    print(json.dumps(out))
+        # COMPACT scaling block on stdout: the driver captures only the tail
+        # of this line (~2000 chars) and BENCH_r04's parse failed when the
+        # accumulated *_rounds arrays pushed the line past that cap. The full
+        # round samples live in BENCH/BASELINE.md and
+        # BENCH/scaling_best_v2.json; here each array is replaced by its
+        # count so the line stays parseable forever.
+        compact = {}
+        for k, v in scaling.items():
+            if k == "protocol":
+                continue
+            if k.endswith("_rounds"):
+                compact[k.replace("_rounds", "_n_rounds")] = len(v)
+            else:
+                compact[k] = v
+        out["scaling"] = compact
+    line = json.dumps(out)
+    # hard guarantee for the driver's tail capture
+    if len(line) > 1900:
+        out.pop("scaling", None)
+        out["scaling_note"] = "full detail in BENCH/BASELINE.md"
+        line = json.dumps(out)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -127,6 +127,36 @@ def _unzigzag(u: int) -> int:
 
 # ---- timestamp codec: delta-of-delta ---------------------------------------
 
+def _check_ts_deltas(ts: np.ndarray) -> None:
+    """Bounded-delta precondition (ADVICE r4): the wire format stores the
+    first delta and every delta-of-delta as int64, so inputs whose
+    consecutive differences overflow int64 (e.g. values spanning ±2^62)
+    would wrap in ``np.diff`` and encode a blob the decoder then rejects as
+    corrupt. Detect the wrap at ENCODE time and raise here instead.
+
+    Subtraction ``b - a`` overflows int64 iff the operands have opposite
+    signs and the wrapped result has the sign of ``a`` (xor trick — exact,
+    no widening needed)."""
+    if len(ts) < 2:
+        return
+    d = ts[1:] - ts[:-1]  # may wrap
+    if bool(np.any(((ts[1:] ^ ts[:-1]) < 0) & ((ts[1:] ^ d) < 0))):
+        raise ValueError(
+            "timestamp delta exceeds int64: consecutive inputs differ by "
+            "more than 2^63-1; the delta-of-delta wire format cannot "
+            "represent this (bounded-delta precondition)"
+        )
+    if len(d) < 2:
+        return
+    dd = d[1:] - d[:-1]
+    if bool(np.any(((d[1:] ^ d[:-1]) < 0) & ((d[1:] ^ dd) < 0))):
+        raise ValueError(
+            "timestamp delta-of-delta exceeds int64: consecutive deltas "
+            "differ by more than 2^63-1; the delta-of-delta wire format "
+            "cannot represent this (bounded-delta precondition)"
+        )
+
+
 def encode_timestamps(ts: np.ndarray) -> bytes:
     """ts: int64 array (epoch seconds or any monotone int axis).
 
@@ -135,9 +165,11 @@ def encode_timestamps(ts: np.ndarray) -> bytes:
     a split control + 64-bit payload for the '1111' bucket, plus zero-run
     fillers) is computed with numpy and assembled by :func:`_bit_assemble`.
     Byte-identical to :func:`_encode_timestamps_scalar`
-    (equivalence-tested)."""
+    (equivalence-tested). Raises ValueError on inputs whose deltas or
+    delta-of-deltas overflow int64 (see :func:`_check_ts_deltas`)."""
     ts = np.asarray(ts, dtype=np.int64)
     n = len(ts)
+    _check_ts_deltas(ts)
     if n <= 2:
         return _encode_timestamps_scalar(ts)
     deltas = np.diff(ts)
@@ -184,8 +216,11 @@ def encode_timestamps(ts: np.ndarray) -> bytes:
 
 def _encode_timestamps_scalar(ts: np.ndarray) -> bytes:
     """Scalar reference encoder (pre-round-4), kept as the bit-equality
-    oracle for the vectorized path."""
+    oracle for the vectorized path. Enforces the same bounded-delta
+    precondition as the vectorized encoder so the two stay
+    exception-equivalent too."""
     ts = np.asarray(ts, dtype=np.int64)
+    _check_ts_deltas(ts)
     n = len(ts)
     w = _BitWriter()
     w.write(CODEC_VERSION, 8)

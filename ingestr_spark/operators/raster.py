@@ -94,7 +94,13 @@ def extract_points_bilinear(
     joined = F.broadcast(corners).join(grid, ["ix", "iy"], "inner")
     point_cols = points.columns
     gathered = joined.groupBy(*point_cols, "_fx", "_fy", "band").agg(
+        # corner-count integrity (ADVICE r4): with a well-formed grid each
+        # (band, ix, iy) matches a corner at most once, so row count ==
+        # distinct-corner count; a duplicated grid cell breaks that
+        # equality and is surfaced via raise_error below instead of being
+        # silently resolved by max()
         F.count(F.lit(1)).alias("_n_corners"),
+        F.countDistinct(F.col("_c")).alias("_n_distinct_corners"),
         *[
             F.max(F.when(F.col("_c") == c, F.col("value"))).alias(f"_v{c}")
             for c in range(4)
@@ -121,7 +127,13 @@ def extract_points_bilinear(
     extracted = gathered.select(
         *point_cols,
         "band",
-        F.when(valid, val).alias("value"),
+        F.when(
+            F.col("_n_corners") != F.col("_n_distinct_corners"),
+            F.raise_error(F.lit(
+                "corrupt raster grid: duplicate (band, ix, iy) cell rows "
+                "matched a point corner more than once"
+            )),
+        ).otherwise(F.when(valid, val)).alias("value"),
     )
     # re-attach points whose every corner missed the grid (the inner join
     # dropped them): left-join the small point×band universe back — keeps

@@ -497,29 +497,52 @@ GEE_SUBSET_CSV = "/root/reference/inst/extdata/CH-Lae_MCD15A3H_gee_subset.csv"
 def _gee_subset_values_sql() -> str:
     import csv
 
+    def _cell(v: str) -> str:
+        # NA / non-integer Fpar cells become SQL NULL — the counting SQL
+        # below mirrors the Spark side, which treats a QC-passing row with
+        # NULL Fpar as nulled, so parity holds regardless of cell contents
+        # (ADVICE r4: the old silent read_csv fallback masked this)
+        try:
+            return str(int(v))
+        except (TypeError, ValueError):
+            return "NULL"
+
     try:
         with open(GEE_SUBSET_CSV) as fh:
             rows = list(csv.DictReader(fh))
         vals = ", ".join(
-            f"(DATE '{r['date']}', {int(r['Fpar'])}, {int(r['FparLai_QC'])})"
+            f"(DATE '{r['date']}', {_cell(r['Fpar'])}, {int(r['FparLai_QC'])})"
             for r in rows
         )
-    except Exception:
-        # reference tree absent OR an unparseable cell: degrade to the
-        # direct-scan form instead of crashing every import of this module
+    except Exception as e:
+        # reference tree absent or the FILE itself unreadable: degrade to a
+        # direct-scan form so importing this module never crashes — but
+        # LOUDLY, because the degraded path has not been parity-checked
+        # against the Spark reader on arbitrary contents
+        import warnings
+
+        warnings.warn(
+            f"GEE oracle falling back to direct read_csv scan ({e!r}); "
+            "NULL-Fpar parity depends on DuckDB's CSV inference here",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return f"SELECT * FROM read_csv('{GEE_SUBSET_CSV}', header=true)"
     return f"SELECT * FROM (VALUES {vals}) t(date, Fpar, FparLai_QC)"
 
 
 _BITQC_MCD15A3H_REAL = f"""
 SELECT CAST(extract(year FROM date) AS VARCHAR) AS source,
-  CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-  CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_nulled,
-  CAST(SUM(CASE WHEN ok THEN Fpar END) AS BIGINT) AS sum_n_tok_kept
+  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_nulled,
+  CAST(SUM(CASE WHEN kept THEN Fpar END) AS BIGINT) AS sum_n_tok_kept
 FROM (
+  -- kept == post-nullify Fpar IS NOT NULL on the Spark side: QC pass AND
+  -- the original cell non-NULL (a QC-passing NULL-Fpar row counts as
+  -- nulled there, so it must here too)
   SELECT date, Fpar,
     ((FparLai_QC >> 0) & 1) = 0 AND ((FparLai_QC >> 3) & 3) = 0
-      AND ((FparLai_QC >> 5) & 7) IN (0, 1) AS ok
+      AND ((FparLai_QC >> 5) & 7) IN (0, 1) AND Fpar IS NOT NULL AS kept
   FROM ({_gee_subset_values_sql()})
 ) GROUP BY 1
 """

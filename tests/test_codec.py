@@ -246,3 +246,94 @@ def test_gorilla_decoders_fuzz_clean_errors():
     for dec in (decode_timestamps, decode_values):
         with pytest.raises(ValueError, match="header count"):
             dec(evil)
+
+
+def test_ts_encode_delta_overflow_raises():
+    """ADVICE r4: inputs whose consecutive deltas (or delta-of-deltas)
+    overflow int64 must be rejected at ENCODE time with a clear message —
+    previously they encoded a blob the decoder then reported as corrupt."""
+    from ingestr_spark.compression.gorilla import _encode_timestamps_scalar
+
+    delta_ovf = np.array([-(2**62), 2**62], dtype=np.int64)  # delta = 2^63
+    dod_ovf = np.array([0, 2**62, -2], dtype=np.int64)  # dod = -2^63 - 2
+    for bad in (delta_ovf, dod_ovf):
+        for enc in (encode_timestamps, _encode_timestamps_scalar):
+            with pytest.raises(ValueError, match="exceeds int64"):
+                enc(bad)
+    # large-but-valid deltas still round-trip: deltas of exactly 2^62, dod 0
+    ok = np.array([-(2**62), 0, 2**62], dtype=np.int64)
+    assert np.array_equal(decode_timestamps(encode_timestamps(ok)), ok)
+    # dod of exactly int64 min is representable and must still work
+    edge = np.array([0, 2**62 - 1, -2], dtype=np.int64)
+    assert np.array_equal(decode_timestamps(encode_timestamps(edge)), edge)
+
+
+def _adversarial_value_corpus() -> dict[str, np.ndarray]:
+    """Standing worst-case corpus for the value decoder (VERDICT r4 #2):
+    deterministic series engineered against each decode fast path.
+
+    * ``flap``       — a window change ('11' control) at EVERY step: the
+                       speculative bulk path never engages.
+    * ``under6``     — in-window runs of exactly 5 then a repeat ('0'):
+                       always one short of the streak>=6 speculation gate.
+    * ``gate_flap``  — runs of exactly 6 then a window change: the gate
+                       fires every time but each speculative call consumes
+                       almost nothing, driving the adaptive disable
+                       (spec_calls>=8, consumed<48/call).
+    * ``mixed``      — seeded random interleaving of all control kinds.
+    """
+    def bits(u):
+        return np.asarray(u, dtype=np.uint64).view(np.float64)
+
+    ONE = 0x3FF0000000000000  # 1.0
+    n = 4096
+
+    flap = np.empty(n, dtype=np.uint64)
+    x = ONE
+    for i in range(n):
+        # alternate xors in disjoint bit ranges: exponent-high vs mantissa-low
+        x ^= (1 << 62) if i % 2 else (0xF << 4)
+        flap[i] = x
+
+    under6 = np.empty(n, dtype=np.uint64)
+    x = ONE
+    for i in range(n):
+        if i % 6 == 5:
+            pass  # repeat → '0' control, resets the streak at 5
+        else:
+            x ^= ((i % 15) + 1) << 8  # same 4-bit window → '10' controls
+        under6[i] = x
+
+    gate_flap = np.empty(n, dtype=np.uint64)
+    x = ONE
+    for i in range(n):
+        if i % 7 == 6:
+            x ^= 1 << 61  # window change right after a 6-streak
+        else:
+            x ^= ((i % 15) + 1) << 8
+        gate_flap[i] = x
+
+    rng = np.random.default_rng(1729)
+    mixed = np.empty(n, dtype=np.uint64)
+    x = ONE
+    for i in range(n):
+        k = int(rng.integers(0, 3))
+        if k == 1:
+            x ^= int(rng.integers(1, 16)) << int(rng.integers(0, 52))
+        elif k == 2:
+            x ^= 1 << int(rng.integers(52, 63))
+        mixed[i] = x
+
+    return {k: bits(v) for k, v in
+            {"flap": flap, "under6": under6, "gate_flap": gate_flap,
+             "mixed": mixed}.items()}
+
+
+def test_adversarial_decode_corpus_roundtrips():
+    """Every corpus series must round-trip bit-exactly through both the
+    vectorized and (implicitly, via bit-equality elsewhere) scalar paths —
+    these shapes exercise the speculation gate, its adaptive disable, and
+    the control flapping the bulk decoder must fall back from."""
+    for name, vs in _adversarial_value_corpus().items():
+        out = decode_values(encode_values(vs))
+        assert np.array_equal(out.view(np.uint64), vs.view(np.uint64)), name

@@ -142,3 +142,19 @@ def test_bilinear_edge_half_cell_defined(spark):
     assert got["corner_cell"] == pytest.approx(_cell(0, 9, 7))
     assert got["edge_col"] == pytest.approx(_cell(0, 9, 2))
     assert got["edge_row"] == pytest.approx(_cell(0, 2, 7))
+
+
+def test_bilinear_duplicate_grid_cell_raises(spark):
+    """ADVICE r4: a duplicated (band, ix, iy) grid row must surface as an
+    error, not be silently resolved by the max() corner gather."""
+    grid = synth_raster(spark, GEOREF, bands=1)
+    dup = grid.limit(0).sparkSession.createDataFrame(
+        [(0, 3, 2, 999999.0)], "band int, ix int, iy int, value double"
+    )
+    corrupted = grid.unionByName(dup)
+    pts = spark.createDataFrame(
+        [("center", 0.25 + 3 * 0.5, 0.25 + 2 * 0.5)],
+        "sitename string, lon double, lat double",
+    )
+    with pytest.raises(Exception, match="duplicate"):
+        extract_points_bilinear(pts, corrupted, GEOREF).collect()
