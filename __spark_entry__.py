@@ -183,10 +183,24 @@ def q_gapfill_methods_1d(spark, sf_dir):
         j.drop("n_seq"), "sum_n_tok", n_lags=2, key_cols=["source"],
         order_col="bucket",
     ).select("source", "bucket", F.col("sum_n_tok").alias("lag2_sum"))
-    return (
+    daily = (
         l.join(z, ["source", "bucket"])
         .join(li, ["source", "bucket"])
         .join(g2, ["source", "bucket"])
+    )
+    # r5 registry fold (VERDICT r4 #7): the monthly-grain LOCF rides along
+    # as grain='1mo' (its old standalone slot is freed); columns the other
+    # grain lacks are NULL on both engines (unionByName allowMissingColumns
+    # <-> DuckDB UNION ALL BY NAME)
+    monthly = _gapfill_locf_1mo(spark, sf_dir).withColumnRenamed(
+        "sum_n_tok", "locf_sum"
+    )
+    return (
+        daily.select(F.lit("1d").alias("grain"), "*")
+        .unionByName(
+            monthly.select(F.lit("1mo").alias("grain"), "*"),
+            allowMissingColumns=True,
+        )
     )
 
 
@@ -630,42 +644,39 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
-def q_multimodal_real_wav(spark, sf_dir):
-    """REAL audio decode end-to-end: genuine RIFF/WAVE PCM16 payloads are
-    written (multimodal.encode_wav_pcm16), shipped as binary columns, and
-    parsed back by the real byte-level container parser
-    (multimodal.decode_wav) inside a mapInPandas batch. The oracle
-    recomputes the exact integer statistics from the generative sample
-    formula — writer, container round-trip, and parser are all
-    hash-checked; only genuinely library-bound codecs remain stubbed."""
-    from ingestr_spark.operators.multimodal import extract_wav_stats, synth_wav_media
-
-    apply_engine_conf(spark)
-    media = synth_wav_media(spark, 500)
-    return extract_wav_stats(media)
-
-
-def q_multimodal_real_ppm(spark, sf_dir):
-    """REAL image decode end-to-end over a MIXED-format binary column:
-    genuine PPM (P6) payloads (multimodal.encode_ppm) plus genuine PNG
-    payloads — zlib-DEFLATE IDAT, CRC-validated chunks, all five scanline
-    filter types exercised (multimodal.encode_png) — are shipped as binary
-    columns and parsed back by the real per-row magic-byte-dispatched
-    decoders inside one mapInPandas batch; the oracle recomputes the exact
-    per-channel integer statistics from both generative pixel formulas."""
+def q_multimodal_real(spark, sf_dir):
+    """REAL multimodal decode end-to-end, both modalities in one slot
+    (r5 registry fold, VERDICT r4 #7). kind='wav': genuine RIFF/WAVE PCM16
+    payloads (multimodal.encode_wav_pcm16) shipped as binary columns and
+    parsed back by the real byte-level container parser (decode_wav) inside
+    a mapInPandas batch. kind='img': a MIXED-format binary column of
+    genuine PPM (P6) payloads plus genuine PNG payloads — zlib-DEFLATE
+    IDAT, CRC-validated chunks, all five scanline filter types
+    (multimodal.encode_png) — parsed by the real per-row
+    magic-byte-dispatched decoders in one mapInPandas batch. The oracle
+    recomputes every integer statistic from the generative formulas;
+    columns the other modality lacks are NULL on both engines."""
     from ingestr_spark.operators.multimodal import (
         extract_image_stats,
+        extract_wav_stats,
         synth_png_media,
         synth_ppm_media,
+        synth_wav_media,
     )
 
     apply_engine_conf(spark)
-    media = synth_ppm_media(spark, 500).unionByName(synth_png_media(spark, 300))
-    return extract_image_stats(media)
+    wav = extract_wav_stats(synth_wav_media(spark, 500))
+    img = extract_image_stats(
+        synth_ppm_media(spark, 500).unionByName(synth_png_media(spark, 300))
+    )
+    return wav.select(F.lit("wav").alias("kind"), "*").unionByName(
+        img.select(F.lit("img").alias("kind"), "*"), allowMissingColumns=True
+    )
 
 
-def q_gapfill_locf_1mo(spark, sf_dir):
-    """Monthly tier (15th-anchored) LOCF over a per-source monthly spine."""
+def _gapfill_locf_1mo(spark, sf_dir):
+    """Monthly tier (15th-anchored) LOCF over a per-source monthly spine
+    (folded into q_gapfill_methods_1d as grain='1mo' in round 5)."""
     tier = (
         rollup_from_raw(_tok(spark, sf_dir), "1mo")
         .withColumn("bucket", anchor_month_15(F.col("bucket")))
@@ -917,8 +928,10 @@ def _audit_patch_dec30(spark, sf_dir):
 
 
 def q_unpivot_tier_long(spark, sf_dir):
-    """R1 pivot_longer: daily-tier accumulators to long form, re-aggregated
-    per (source, name)."""
+    """R1 pivot_longer (probe='long') + R5 expand.grid (probe='grid') in
+    one slot (r5 registry fold, VERDICT r4 #7): daily-tier accumulators to
+    long form re-aggregated per (source, name), unioned BY NAME with the
+    years x months grid left-joined to per-cell token counts."""
     from ingestr_spark.operators.reshape import unpivot_longer
 
     tier = (
@@ -927,8 +940,14 @@ def q_unpivot_tier_long(spark, sf_dir):
         .agg(F.sum("n_tok").alias("sum_n_tok"), F.count(F.lit(1)).alias("n_seq"))
     )
     long = unpivot_longer(tier, ["source", "bucket"], ["sum_n_tok", "n_seq"])
-    return long.groupBy("source", "name").agg(
+    long_agg = long.groupBy("source", "name").agg(
         F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+    )
+    return long_agg.select(F.lit("long").alias("probe"), "*").unionByName(
+        _expand_grid_months(spark, sf_dir).select(
+            F.lit("grid").alias("probe"), "*"
+        ),
+        allowMissingColumns=True,
     )
 
 
@@ -1033,11 +1052,26 @@ def q_quantiles_ntok(spark, sf_dir):
     source via the counting method — groupBy(key, value) + cumulative
     window over the bounded value DOMAIN (never over rows), so the operator
     is exact at any row scale where percentile_approx would be a sketch.
-    DuckDB mirrors the counting construction operator-for-operator."""
+    DuckDB mirrors the counting construction operator-for-operator.
+
+    path='raw' runs over the raw token table; path='weighted' (r5, VERDICT
+    r4 #3) runs the ``weight_col`` variant over a value-histogram TIER
+    (per-(source, n_tok) row counts — the rolled-up form a retention store
+    would keep) and must produce the identical population answers: the
+    engine's claim that rolled-up tiers can answer raw-population
+    questions, now driver-oracled instead of pytest-only."""
     from ingestr_spark.operators.quantiles import exact_quantiles
 
     t = _tok(spark, sf_dir)
-    return exact_quantiles(t, ["source"], "n_tok", qs=(0.1, 0.5, 0.9, 0.99))
+    qs = (0.1, 0.5, 0.9, 0.99)
+    raw = exact_quantiles(t, ["source"], "n_tok", qs=qs)
+    tier = t.groupBy("source", "n_tok").agg(
+        F.count(F.lit(1)).cast("long").alias("n_seq")
+    )
+    weighted = exact_quantiles(
+        tier, ["source"], "n_tok", qs=qs, weight_col="n_seq"
+    )
+    return _union_tag("path", [("raw", raw), ("weighted", weighted)])
 
 
 def q_raster_bilinear(spark, sf_dir):
@@ -1056,18 +1090,41 @@ def q_raster_bilinear(spark, sf_dir):
 
     apply_engine_conf(spark)
     georef = GridGeoref(0.25, 0.25, 0.5, 0.5, 100, 80)
-    grid = synth_raster(spark, georef, bands=2)
     pts = spark.range(200).select(
         F.format_string("pt-%04d", "id").alias("sitename"),
         ((F.col("id") * 731 % 5210).cast("double") / 100.0).alias("lon"),
         ((F.col("id") * 389 % 4120).cast("double") / 100.0).alias("lat"),
     )
-    return extract_points_bilinear(pts, grid, georef, bands=[0, 1])
+    plain = extract_points_bilinear(
+        pts, synth_raster(spark, georef, bands=2), georef, bands=[0, 1]
+    )
+    # mode='time' (r5, VERDICT r4 #6): the reference's get_time=TRUE path
+    # (R/ingest_globalfields.R:1226-1280) — each band of a 12-band grid
+    # carries a date parsed from the band axis; the extraction output is
+    # broadcast-joined to the band→date dimension so every row lands on a
+    # (point, date) time series, like the reference's band-name unpivot.
+    # the date is carried as its ISO string: the plain-mode rows hold NULL
+    # here, and a nullable DATE column normalizes differently between the
+    # two engines' pandas bridges (None vs NaT) — strings are stable
+    band_dates = spark.range(12).select(
+        F.col("id").cast("int").alias("band"),
+        F.make_date(F.lit(2022), F.col("id") + 1, F.lit(15))
+        .cast("string").alias("date"),
+    )
+    timed = extract_points_bilinear(
+        pts, synth_raster(spark, georef, bands=12), georef,
+        bands=list(range(12)),
+    ).join(F.broadcast(band_dates), "band")
+    return plain.select(F.lit("plain").alias("mode"), "*").unionByName(
+        timed.select(F.lit("time").alias("mode"), "*"),
+        allowMissingColumns=True,
+    )
 
 
-def q_expand_grid_months(spark, sf_dir):
+def _expand_grid_months(spark, sf_dir):
     """R5 expand.grid: years × months grid left-joined with per-cell token
-    counts (absent cells kept as 0)."""
+    counts (absent cells kept as 0; folded into q_unpivot_tier_long as
+    probe='grid' in round 5)."""
     from ingestr_spark.operators.reshape import expand_grid
 
     grid = expand_grid(spark, (2022, 2024))
@@ -1133,7 +1190,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_skew": q_rollup_skew,
         "tokens_invariant": q_tokens_invariant,
         "gapfill_methods_1d": q_gapfill_methods_1d,
-        "gapfill_locf_1mo": q_gapfill_locf_1mo,
         "events_rollup_1h": q_events_rollup_1h,
         "iqr_outlier_events": q_iqr_outlier_events,
         "clim_monthly": q_clim_monthly,
@@ -1160,8 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "downscale_prec_golden": q_downscale_prec_golden,
         "codec_roundtrip_1d": q_codec_roundtrip_1d,
         "multimodal_features": q_multimodal_features,
-        "multimodal_real_wav": q_multimodal_real_wav,
-        "multimodal_real_ppm": q_multimodal_real_ppm,
+        "multimodal_real": q_multimodal_real,
         "json_props_events": q_json_props_events,
         "sessions_events": q_sessions_events,
         "distinct_users_daily": q_distinct_users_daily,
@@ -1175,7 +1230,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doy_scale_fill": q_doy_scale_fill,
         "unpivot_tier_long": q_unpivot_tier_long,
         "reconstruct_hourly_tier": q_reconstruct_hourly_tier,
-        "expand_grid_months": q_expand_grid_months,
         "raster_bilinear": q_raster_bilinear,
         "quantiles_ntok": q_quantiles_ntok,
     }
@@ -1187,8 +1241,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_cascades": oracles.ROLLUP_CASCADES,
         "rollup_skew": oracles.ROLLUP_SKEW,
         "tokens_invariant": oracles.TOKENS_INVARIANT,
-        "gapfill_methods_1d": oracles.GAPFILL_METHODS_1D,
-        "gapfill_locf_1mo": oracles.GAPFILL_LOCF_1MO,
+        "gapfill_methods_1d": oracles.GAPFILL_METHODS,
         "events_rollup_1h": oracles.EVENTS_ROLLUP_1H,
         "iqr_outlier_events": oracles.IQR_OUTLIER_EVENTS,
         "clim_monthly": oracles.CLIM_MONTHLY,
@@ -1215,8 +1268,7 @@ def oracle_sql() -> dict[str, str]:
         "downscale_prec_golden": oracles.DOWNSCALE_PREC_GOLDEN,
         "codec_roundtrip_1d": oracles.CODEC_ROUNDTRIP_1D,
         "multimodal_features": oracles.MULTIMODAL_FEATURES,
-        "multimodal_real_wav": oracles.MULTIMODAL_REAL_WAV,
-        "multimodal_real_ppm": oracles.MULTIMODAL_REAL_PPM,
+        "multimodal_real": oracles.MULTIMODAL_REAL,
         "json_props_events": oracles.JSON_PROPS_EVENTS,
         "sessions_events": oracles.SESSIONS_EVENTS,
         "distinct_users_daily": oracles.DISTINCT_USERS_DAILY,
@@ -1228,9 +1280,8 @@ def oracle_sql() -> dict[str, str]:
         "daytime_daily_events": oracles.DAYTIME_DAILY_EVENTS,
         "cross_pixel_events": oracles.CROSS_PIXEL_EVENTS,
         "doy_scale_fill": oracles.DOY_SCALE_FILL,
-        "unpivot_tier_long": oracles.UNPIVOT_TIER_LONG,
+        "unpivot_tier_long": oracles.RESHAPE_LONG_GRID,
         "reconstruct_hourly_tier": oracles.RECONSTRUCT_HOURLY_TIER,
-        "expand_grid_months": oracles.EXPAND_GRID_MONTHS,
-        "raster_bilinear": oracles.RASTER_BILINEAR,
-        "quantiles_ntok": oracles.QUANTILES_NTOK,
+        "raster_bilinear": oracles.RASTER_BILINEAR_COMPOSITE,
+        "quantiles_ntok": oracles.QUANTILES_NTOK_COMPOSITE,
     }

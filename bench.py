@@ -427,7 +427,10 @@ def write_bench_md(scaling: dict, queries: dict[str, float]) -> None:
         "quantiles_ntok to the headline set, so the r4 total includes a few",
         "seconds of newly timed work. Round 5 adds codec_roundtrip_1d (the",
         "Gorilla encode→decode→verify path over the 1d tier) so codec perf",
-        "regressions are visible in the round-over-round bench diff.",
+        "regressions are visible in the round-over-round bench diff; and",
+        "raster_bilinear / quantiles_ntok now carry a second mode each",
+        "(12-band time-axis extraction; n_seq-weighted tier quantiles), so",
+        "their r5 walls include more work than r4's.",
         "",
         "| query | sec |",
         "|---|---|",
