@@ -41,6 +41,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="after retention, physically delete data files no "
                         "retained snapshot references (expired drops, "
                         "superseded merges, crash orphans)")
+    p.add_argument("--gc-min-age", type=float, default=21600.0,
+                   help="skip unreferenced dirs younger than this many "
+                        "seconds (in-flight-writer grace, like Iceberg "
+                        "remove_orphan_files older_than); 0 only when no "
+                        "writer can be live")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -82,7 +87,7 @@ def main(argv: list[str] | None = None) -> int:
     gc_removed: dict[str, int] = {}
     if args.gc:
         for t in tiers:
-            gc_removed[t] = len(store.gc(t))
+            gc_removed[t] = len(store.gc(t, min_age_seconds=args.gc_min_age))
 
     report = {
         "built_partitions": built,

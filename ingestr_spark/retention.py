@@ -24,6 +24,14 @@ mutation anywhere on the read or commit path:
 * **Retention drops are metadata-only**: a new snapshot without the expired
   months. The files become unreferenced and are collected later — Iceberg's
   ``DELETE WHERE`` + expire-snapshots split.
+* **gc vs in-flight writers (r5)**: a job's data dirs are unreferenced
+  until its snapshot links, so :meth:`gc` skips unreferenced dirs younger
+  than ``min_age_seconds`` (default 6 h — Iceberg's remove_orphan_files
+  ``older_than`` defense), and :meth:`_commit_snapshot` aborts LOUDLY if a
+  dir it is about to reference has vanished (a zero-grace gc racing a live
+  committer). Concurrent committers racing the same version are decided by
+  the create-exclusive link: exactly one wins, the loser gets
+  FileExistsError — verified across real separate processes in tests.
 
 Layout:
     <root>/data/<tier>/<job_id>/p_month=YYYY-MM/part-*.parquet  (immutable)
@@ -134,6 +142,21 @@ class AggregateStore:
             "job_id": job_id,
             "committed_at": time.time(),
         }
+        # Loud-commit interlock (r5): every data dir this snapshot is about
+        # to reference must still exist. An aggressive gc(min_age_seconds=0)
+        # racing an in-flight committer can collect a written-but-uncommitted
+        # job dir (it is unreferenced until this very link); publishing the
+        # pointer anyway would be SILENT corruption surfacing only at read
+        # time. The grace window in gc() prevents the race by default; this
+        # check makes the remaining misuse loud at the committer.
+        for month, upd in updates.items():
+            if upd is not None and not os.path.isdir(self._resolve(self._rel(upd))):
+                raise RuntimeError(
+                    f"commit aborted for {tier}/{month}: data dir {upd} "
+                    "vanished before snapshot publish — concurrent gc with "
+                    "min_age_seconds=0 against an in-flight job, or a wrong "
+                    "path; nothing was published"
+                )
         d = self.snapshots_path(tier)
         os.makedirs(d, exist_ok=True)
         tmp = f"{d}/.tmp-{uuid.uuid4().hex}"
@@ -431,12 +454,27 @@ class AggregateStore:
             )
         return dropped
 
-    def gc(self, tier: str, keep_snapshots: int = 1) -> list[str]:
+    def gc(
+        self,
+        tier: str,
+        keep_snapshots: int = 1,
+        min_age_seconds: float = 21600.0,
+    ) -> list[str]:
         """Physically delete data directories no snapshot in the retained
         window references (expired retention drops, superseded merges,
         pre-commit crash leftovers), then expire old snapshot files. The
         ONLY place files are deleted — never on the commit path. Returns the
         removed month-directories.
+
+        ``min_age_seconds`` (r5): an unreferenced dir younger than this is
+        SKIPPED — it may belong to an in-flight job whose snapshot commit
+        hasn't linked yet (data dirs are unreferenced until the pointer
+        publishes, so a zero-grace gc racing a live committer would collect
+        the dir out from under it). Same defense as Iceberg's
+        remove_orphan_files ``older_than`` default. Pass 0 only when no
+        writer can be live (single-operator maintenance); even then the
+        committer's existence pre-check turns the race loss into a loud
+        abort rather than a dangling snapshot.
 
         Expiring snapshots also forgets their job_ids, so a replay of a job
         OLDER than the retained snapshot window is no longer detected as
@@ -479,15 +517,25 @@ class AggregateStore:
                 f"partition dir(s) but none match any dir under {base} — "
                 "refusing to delete (store moved or snapshot paths stale?)"
             )
+        now = time.time()
+
+        def _young(path: str) -> bool:
+            try:
+                return now - os.path.getmtime(path) < min_age_seconds
+            except OSError:
+                return True  # vanished mid-walk: treat as in-flight, skip
+
         removed = []
         for d in candidates:
-            if os.path.realpath(d) not in live:
+            if os.path.realpath(d) not in live and not _young(d):
                 shutil.rmtree(d)
                 removed.append(d)
         if os.path.isdir(base):
             for job in sorted(os.listdir(base)):
                 job_dir = f"{base}/{job}"
-                if not any(e.startswith("p_month=") for e in os.listdir(job_dir)):
+                if not any(
+                    e.startswith("p_month=") for e in os.listdir(job_dir)
+                ) and not _young(job_dir):
                     shutil.rmtree(job_dir)
         for v in versions[:-keep_snapshots]:
             os.unlink(f"{self.snapshots_path(tier)}/v{v}.json")

@@ -159,7 +159,7 @@ def test_incremental_crash_before_pointer_commit_is_invisible(
     assert _rows(store.read_tier("1h")) == want
     # gc collects the superseded pre-merge partitions (the replay reused and
     # overwrote its own never-referenced crashed dir) and reads stay correct
-    removed = store.gc("1h")
+    removed = store.gc("1h", min_age_seconds=0)
     assert removed
     assert _rows(store.read_tier("1h")) == want
 

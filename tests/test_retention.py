@@ -68,7 +68,7 @@ def test_retention_drops_only_verified_old_months(store):
         if e.startswith("p_month=")
     }
     assert on_disk == set(months)  # files for dropped months still exist
-    removed = store.gc("1h")
+    removed = store.gc("1h", min_age_seconds=0)
     assert sorted(d.split("p_month=")[1] for d in removed) == dropped
     assert not any(os.path.isdir(d) for d in removed)
     # the retained months still read fine after gc
@@ -96,14 +96,14 @@ def test_store_is_relocatable(spark, tok, tmp_path):
     os.rename(old_root, new_root)
     s2 = AggregateStore(spark, str(new_root))
     assert s2.read_tier("1h").count() == n
-    assert s2.gc("1h") == []          # nothing live was collected
+    assert s2.gc("1h", min_age_seconds=0) == []  # nothing live was collected
     assert s2.read_tier("1h").count() == n
 
     # reopen via a symlinked spelling of the same root: still no deletion
     link = tmp_path / "store_link"
     os.symlink(new_root, link)
     s3 = AggregateStore(spark, str(link))
-    assert s3.gc("1h") == []
+    assert s3.gc("1h", min_age_seconds=0) == []
     assert s3.read_tier("1h").count() == n
 
 
@@ -147,6 +147,9 @@ def test_concurrent_commit_cas_exactly_one_winner(spark, tok, tmp_path):
     s = AggregateStore(spark, str(tmp_path / "store_race"))
     s.build_tier("1h", tok)
     base = s.current_snapshot("1h")
+    # the r5 commit pre-check requires referenced dirs to exist
+    for name in ("writer_a", "writer_b"):
+        os.makedirs(f"{s.root}/data/1h/{name}/p_month=2099-01", exist_ok=True)
 
     barrier = threading.Barrier(2)
     results: dict[str, object] = {}
@@ -205,3 +208,88 @@ def test_commit_is_snapshot_only_no_inplace_mutation(spark, tok, tmp_path):
     for p, mtime in before.items():
         assert after[p] == mtime, f"mutated: {p}"  # nothing rewritten
     assert s.current_snapshot("1h")["version"] == 2
+
+
+def test_concurrent_commit_cas_across_processes(spark, tok, tmp_path):
+    """Process-level CAS race (VERDICT r4 #4): two SEPARATE interpreters
+    (not threads — real os.link contention across processes, the closest
+    single-box analog of two Spark drivers committing to one catalog) race
+    the same next snapshot version. Exactly one wins; the loser gets a loud
+    FileExistsError; the winner's snapshot is the one readers resolve."""
+    import subprocess
+    import sys
+    import textwrap
+
+    s = AggregateStore(spark, str(tmp_path / "store_procrace"))
+    s.build_tier("1h", tok)
+    base_version = s.current_snapshot("1h")["version"]
+
+    child = textwrap.dedent("""
+        import json, os, sys, time
+        sys.path.insert(0, "/root/repo")
+        from ingestr_spark.retention import AggregateStore
+
+        root, name, go_file = sys.argv[1], sys.argv[2], sys.argv[3]
+        store = AggregateStore(None, root)  # no JVM: snapshot ops are pure-os
+        base = store.current_snapshot("1h")  # BOTH read the same base version
+        while not os.path.exists(go_file):   # start-line barrier
+            time.sleep(0.001)
+        try:
+            store._commit_snapshot(
+                "1h", {"2099-01": f"data/1h/{name}/p_month=2099-01"},
+                job_id=name)
+            print("RESULT won")
+        except FileExistsError:
+            print("RESULT lost")
+    """)
+    # the commit pre-check requires the referenced dirs to exist
+    for name in ("proc_a", "proc_b"):
+        os.makedirs(f"{s.root}/data/1h/{name}/p_month=2099-01", exist_ok=True)
+    go = tmp_path / "go"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", child, s.root, name, str(go)],
+            stdout=subprocess.PIPE, text=True,
+        )
+        for name in ("proc_a", "proc_b")
+    ]
+    import time as _t
+    _t.sleep(2.0)  # let both children reach the barrier spin
+    go.touch()
+    results = sorted(p.communicate(timeout=120)[0].strip().split()[-1] for p in procs)
+    assert results == ["lost", "won"]
+    # exactly one new version exists and readers resolve it
+    assert s.current_snapshot("1h")["version"] == base_version + 1
+    assert "2099-01" in s.current_snapshot("1h")["partitions"]
+
+
+def test_gc_grace_protects_inflight_commit(spark, tok, tmp_path):
+    """gc-vs-in-flight-committer interleaving (VERDICT r4 #4): a job has
+    written its data dirs but not yet linked its snapshot — those dirs are
+    unreferenced, so (a) a zero-grace gc collects them and the subsequent
+    commit must ABORT LOUDLY instead of publishing a dangling pointer, and
+    (b) the default grace window must leave young in-flight dirs alone so
+    the commit succeeds."""
+    s = AggregateStore(spark, str(tmp_path / "store_inflight"))
+    s.build_tier("1h", tok)
+    n_before = s.read_tier("1h").count()
+
+    # (a) in-flight job dir, then an aggressive maintenance gc
+    inflight = f"{s.root}/data/1h/inflight_a/p_month=2099-02"
+    os.makedirs(inflight)
+    open(f"{inflight}/part-0.parquet", "w").close()
+    removed = s.gc("1h", min_age_seconds=0)
+    assert any("inflight_a" in d for d in removed)  # the race, made real
+    with pytest.raises(RuntimeError, match="vanished before snapshot publish"):
+        s._commit_snapshot("1h", {"2099-02": inflight}, job_id="inflight_a")
+    # nothing was published; reads are unaffected
+    assert "2099-02" not in s.current_snapshot("1h")["partitions"]
+    assert s.read_tier("1h").count() == n_before
+
+    # (b) same interleaving under the DEFAULT grace: dir survives, commit lands
+    inflight2 = f"{s.root}/data/1h/inflight_b/p_month=2099-03"
+    os.makedirs(inflight2)
+    open(f"{inflight2}/part-0.parquet", "w").close()
+    assert not any("inflight_b" in d for d in s.gc("1h"))
+    s._commit_snapshot("1h", {"2099-03": inflight2}, job_id="inflight_b")
+    assert "2099-03" in s.current_snapshot("1h")["partitions"]
