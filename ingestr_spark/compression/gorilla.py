@@ -433,20 +433,23 @@ def encode_values(vals: np.ndarray) -> bytes:
     Fully run-vectorized encoder (round-4, VERDICT #7). The only sequential
     structure in the Gorilla value format is the WINDOW chain: a '11'
     control establishes (lead, mlen) and every subsequent point reuses it
-    with a 2-bit '10' control until the first point whose XOR does not fit
-    — and the chain restarts at most ~95 times on ANY input: a restart
-    happens only when lead or trail drops BELOW the current window, so the
-    window monotonically widens along the chain and the restart count is
-    bounded by the total descent (≤31 lead steps + ≤64 trail steps);
-    measured 27 restarts in 196k nonzero points on tier-like data, 4 on an
-    adversarial alternating-exponent series. So the encoder walks
-    RESTARTS, not points: for each '11' restart it finds the next violating
-    point with a geometrically-growing chunked numpy scan (cheap whether
-    restarts are rare or dense), emits the whole '10' run's fields with
-    vectorized column_stack arithmetic, and one word-level
-    :func:`_bit_assemble` pass packs everything. Byte-identical to the
-    scalar reference encoder (:func:`_encode_values_scalar`,
-    hypothesis-equivalence-tested), so CODEC_VERSION stays 2."""
+    with a 2-bit '10' control until the first point whose XOR does not fit.
+    On REAL series restarts are rare (measured 27 per 196k nonzero points
+    on tier-like data), so the encoder walks RESTARTS, not points: for each
+    '11' restart it finds the next violating point with a
+    geometrically-growing chunked numpy scan, emits the whole '10' run's
+    fields with vectorized column_stack arithmetic, and one word-level
+    :func:`_bit_assemble` pass packs everything.
+
+    CORRECTION (r5): a restart RESETS the window to the new xor's tight
+    (lead, mlen) — it does NOT monotonically widen, so the earlier "≤95
+    restarts on any input" bound was wrong: adversarial series alternating
+    xors between disjoint bit ranges restart at EVERY point, where the
+    per-restart numpy overhead is ~7x slower than the scalar encoder. The
+    walk therefore self-monitors restart density and bails to the
+    byte-identical :func:`_encode_values_scalar` (≈1 Mpt/s floor) when
+    runs are short. Byte-identical output either way
+    (hypothesis-equivalence-tested), so CODEC_VERSION stays 2."""
     bits = np.asarray(vals, dtype=np.float64).view(np.uint64)
     n = len(bits)
     if n == 0:
@@ -467,7 +470,26 @@ def encode_values(vals: np.ndarray) -> bytes:
         # zero-run length BEFORE each nonzero point (vectorized gap calc)
         gaps = np.diff(nz, prepend=-1) - 1
         j = 0
+        restarts = 0
+        j_mark = 0
         while j < J:
+            # Adaptive bail (r5): the walk is O(restarts), and a restart
+            # RESETS the window to the new xor's tight (lead, mlen) — it
+            # does NOT monotonically widen — so adversarial series that
+            # alternate xors between disjoint bit ranges restart at EVERY
+            # point and the per-restart numpy overhead (~10 small array
+            # ops) makes the walk ~7x slower than the scalar encoder
+            # (measured 0.16 vs 1.08 Mpt/s on the corpus 'flap' shape).
+            # Every 32 restarts, if the window since the last check covered
+            # fewer than 16 points per restart, redo the WHOLE blob with the
+            # byte-identical scalar encoder — catching dense-from-the-start
+            # and sparse-then-dense shapes alike; the wasted partial walk is
+            # bounded by one 32-restart window.
+            restarts += 1
+            if restarts & 31 == 0:
+                if j - j_mark < 16 * 32:
+                    return _encode_values_scalar(vals)
+                j_mark = j
             # restart at j: '11' control+meta (13 bits) + mlen payload
             L = int(leads[j])
             T = int(trails[j])
@@ -647,7 +669,8 @@ def decode_values(blob: bytes) -> np.ndarray:
     # the rest of the window run vectorized (_speculative_run_decode).
     data, pos = r.data, r.pos
     blen = 8 * len(data)
-    data_np = np.frombuffer(data + b"\x00" * 16, dtype=np.uint8)
+    datap = data + b"\x00" * 16  # fixed-width window reads never run short
+    data_np = np.frombuffer(datap, dtype=np.uint8)
     # speculative-path gate: only engage the vector decoder after a few
     # consecutive window fields (streak), so repeat-heavy series — whose
     # '0' controls chop runs short — stay on the cheap scalar loop; and
@@ -668,46 +691,40 @@ def decode_values(blob: bytes) -> np.ndarray:
             pos += 8
             streak = 0
             continue
-        end = pos + 2
-        if end > blen:
-            # a lone final '0' control may end exactly at the last bit
-            if pos + 1 > blen:
-                raise ValueError(f"truncated blob: need bit {pos + 1}, have {blen}")
-            b = (data[pos >> 3] >> (7 - (pos & 7))) & 1
-            if b:
-                raise ValueError(f"truncated blob: need bit {pos + 2}, have {blen}")
+        if pos >= blen:
+            raise ValueError(f"truncated blob: need bit {pos + 1}, have {blen}")
+        # Fused single-window parse (r5, corpus floor work): ONE 11-byte
+        # read holds a COMPLETE field at any alignment — 7 alignment + 2
+        # control + 11 meta + 64 payload = 84 <= 88 bits — so control, '11'
+        # lead/mlen meta, and payload all come out of the same integer
+        # (was up to 3 from_bytes per point; ~2x on control-flapping
+        # series where the bulk path below cannot engage).
+        b0 = pos >> 3
+        w = from_bytes(datap[b0:b0 + 11], "big")
+        wend = (b0 << 3) + 88
+        if not (w >> (wend - pos - 1)) & 1:  # '0' control: repeat
             pos += 1
             out[i] = cur
             i += 1
             streak = 0
             continue
-        last = (end + 7) >> 3
-        c = (from_bytes(data[pos >> 3:last], "big") >> ((last << 3) - end)) & 3
-        if c < 2:  # first bit 0 → '0' control, only ONE bit consumed
-            pos += 1
-            out[i] = cur
-            i += 1
-            streak = 0
-            continue
-        pos = end
-        if c == 3:  # '11': fused 5-bit lead + 6-bit mlen read
-            end = pos + 11
-            if end > blen:
-                raise ValueError(f"truncated blob: need bit {end}, have {blen}")
-            last = (end + 7) >> 3
-            v = (from_bytes(data[pos >> 3:last], "big") >> ((last << 3) - end)) & 0x7FF
-            pos = end
-            lead = v >> 6
-            mlen = (v & 0x3F) or 64
+        if pos + 2 > blen:
+            raise ValueError(f"truncated blob: need bit {pos + 2}, have {blen}")
+        if (w >> (wend - pos - 2)) & 1:  # '11': new window, fused meta
+            fend = pos + 13
+            if fend > blen:
+                raise ValueError(f"truncated blob: need bit {fend}, have {blen}")
+            meta = (w >> (wend - fend)) & 0x7FF
+            lead = meta >> 6
+            mlen = (meta & 0x3F) or 64
             trail = 64 - lead - mlen
-        end = pos + mlen
-        if end > blen:
-            raise ValueError(f"truncated blob: need bit {end}, have {blen}")
-        last = (end + 7) >> 3
-        x = (from_bytes(data[pos >> 3:last], "big") >> ((last << 3) - end)) & (
-            (1 << mlen) - 1
-        )
-        pos = end
+            fend += mlen
+        else:  # '10': reuse the current window
+            fend = pos + 2 + mlen
+        if fend > blen:
+            raise ValueError(f"truncated blob: need bit {fend}, have {blen}")
+        x = (w >> (wend - fend)) & ((1 << mlen) - 1)
+        pos = fend
         # mask to 64 bits: a no-op for valid blobs (trail+mlen <= 64), and
         # keeps a corrupt '11' meta from overflowing the uint64 assignment
         cur = (cur ^ (x << trail)) & 0xFFFFFFFFFFFFFFFF
