@@ -494,10 +494,17 @@ def main() -> None:
                 compact[k] = v
         out["scaling"] = compact
     line = json.dumps(out)
-    # hard guarantee for the driver's tail capture
+    # hard guarantee for the driver's ~2000-char tail capture: shed detail
+    # in order until the line fits — first the (already compact) scaling
+    # block, then the per-query walls (HEADLINE grows every round, so the
+    # queries dict alone could eventually re-breach the cap)
     if len(line) > 1900:
         out.pop("scaling", None)
         out["scaling_note"] = "full detail in BENCH/BASELINE.md"
+        line = json.dumps(out)
+    if len(line) > 1900:
+        out["queries"] = {"n_queries": len(queries)}
+        out["queries_note"] = "per-query walls in BENCH/BASELINE.md"
         line = json.dumps(out)
     print(line)
 

@@ -127,7 +127,7 @@ def _unzigzag(u: int) -> int:
 
 # ---- timestamp codec: delta-of-delta ---------------------------------------
 
-def _check_ts_deltas(ts: np.ndarray) -> None:
+def _check_ts_deltas(ts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Bounded-delta precondition (ADVICE r4): the wire format stores the
     first delta and every delta-of-delta as int64, so inputs whose
     consecutive differences overflow int64 (e.g. values spanning ±2^62)
@@ -136,9 +136,10 @@ def _check_ts_deltas(ts: np.ndarray) -> None:
 
     Subtraction ``b - a`` overflows int64 iff the operands have opposite
     signs and the wrapped result has the sign of ``a`` (xor trick — exact,
-    no widening needed)."""
+    no widening needed). Returns ``(deltas, dods)`` so the caller reuses
+    them instead of recomputing the diffs (review r5)."""
     if len(ts) < 2:
-        return
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
     d = ts[1:] - ts[:-1]  # may wrap
     if bool(np.any(((ts[1:] ^ ts[:-1]) < 0) & ((ts[1:] ^ d) < 0))):
         raise ValueError(
@@ -147,7 +148,7 @@ def _check_ts_deltas(ts: np.ndarray) -> None:
             "represent this (bounded-delta precondition)"
         )
     if len(d) < 2:
-        return
+        return (d, np.empty(0, dtype=np.int64))
     dd = d[1:] - d[:-1]
     if bool(np.any(((d[1:] ^ d[:-1]) < 0) & ((d[1:] ^ dd) < 0))):
         raise ValueError(
@@ -155,6 +156,7 @@ def _check_ts_deltas(ts: np.ndarray) -> None:
             "differ by more than 2^63-1; the delta-of-delta wire format "
             "cannot represent this (bounded-delta precondition)"
         )
+    return (d, dd)
 
 
 def encode_timestamps(ts: np.ndarray) -> bytes:
@@ -169,11 +171,9 @@ def encode_timestamps(ts: np.ndarray) -> bytes:
     delta-of-deltas overflow int64 (see :func:`_check_ts_deltas`)."""
     ts = np.asarray(ts, dtype=np.int64)
     n = len(ts)
-    _check_ts_deltas(ts)
     if n <= 2:
-        return _encode_timestamps_scalar(ts)
-    deltas = np.diff(ts)
-    dods = np.diff(deltas)
+        return _encode_timestamps_scalar(ts)  # scalar runs the check
+    deltas, dods = _check_ts_deltas(ts)  # == np.diff(ts), np.diff(deltas)
     u64 = (1 << 64) - 1
     field_vals: list[int] = [CODEC_VERSION, n, int(ts[0]) & u64,
                              int(deltas[0]) & u64]

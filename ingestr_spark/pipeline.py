@@ -41,11 +41,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="after retention, physically delete data files no "
                         "retained snapshot references (expired drops, "
                         "superseded merges, crash orphans)")
-    p.add_argument("--gc-min-age", type=float, default=21600.0,
+    p.add_argument("--gc-min-age", type=float, default=259200.0,
                    help="skip unreferenced dirs younger than this many "
                         "seconds (in-flight-writer grace, like Iceberg "
-                        "remove_orphan_files older_than); 0 only when no "
-                        "writer can be live")
+                        "remove_orphan_files older_than, default 3 days; "
+                        "must exceed any writer's write-to-commit gap; 0 "
+                        "only when no writer can be live")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 

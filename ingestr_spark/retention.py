@@ -26,8 +26,8 @@ mutation anywhere on the read or commit path:
   ``DELETE WHERE`` + expire-snapshots split.
 * **gc vs in-flight writers (r5)**: a job's data dirs are unreferenced
   until its snapshot links, so :meth:`gc` skips unreferenced dirs younger
-  than ``min_age_seconds`` (default 6 h — Iceberg's remove_orphan_files
-  ``older_than`` defense), and :meth:`_commit_snapshot` aborts LOUDLY if a
+  than ``min_age_seconds`` (default 3 days — Iceberg's remove_orphan_files
+  ``older_than`` default), and :meth:`_commit_snapshot` aborts LOUDLY if a
   dir it is about to reference has vanished (a zero-grace gc racing a live
   committer). Concurrent committers racing the same version are decided by
   the create-exclusive link: exactly one wins, the loser gets
@@ -458,7 +458,7 @@ class AggregateStore:
         self,
         tier: str,
         keep_snapshots: int = 1,
-        min_age_seconds: float = 21600.0,
+        min_age_seconds: float = 259200.0,
     ) -> list[str]:
         """Physically delete data directories no snapshot in the retained
         window references (expired retention drops, superseded merges,
@@ -470,8 +470,9 @@ class AggregateStore:
         SKIPPED — it may belong to an in-flight job whose snapshot commit
         hasn't linked yet (data dirs are unreferenced until the pointer
         publishes, so a zero-grace gc racing a live committer would collect
-        the dir out from under it). Same defense as Iceberg's
-        remove_orphan_files ``older_than`` default. Pass 0 only when no
+        the dir out from under it). The 3-day default matches Iceberg's
+        remove_orphan_files ``older_than`` default, sized so even a
+        multi-hour backfill's write-to-commit gap is covered. Pass 0 only when no
         writer can be live (single-operator maintenance); even then the
         committer's existence pre-check turns the race loss into a loud
         abort rather than a dangling snapshot.

@@ -232,6 +232,7 @@ def test_concurrent_commit_cas_across_processes(spark, tok, tmp_path):
         root, name, go_file = sys.argv[1], sys.argv[2], sys.argv[3]
         store = AggregateStore(None, root)  # no JVM: snapshot ops are pure-os
         base = store.current_snapshot("1h")  # BOTH read the same base version
+        open(go_file + "." + name + ".ready", "w").close()  # handshake out
         while not os.path.exists(go_file):   # start-line barrier
             time.sleep(0.001)
         try:
@@ -254,7 +255,16 @@ def test_concurrent_commit_cas_across_processes(spark, tok, tmp_path):
         for name in ("proc_a", "proc_b")
     ]
     import time as _t
-    _t.sleep(2.0)  # let both children reach the barrier spin
+    # deterministic handshake: wait until BOTH children have imported, read
+    # the same base snapshot, and signaled ready — only then drop the flag
+    # (a fixed sleep could let a slow import serialize the commits and both
+    # would win; review r5)
+    deadline = _t.time() + 120
+    while not all(
+        os.path.exists(f"{go}.proc_{c}.ready") for c in ("a", "b")
+    ):
+        assert _t.time() < deadline, "children never reached the barrier"
+        _t.sleep(0.01)
     go.touch()
     results = sorted(p.communicate(timeout=120)[0].strip().split()[-1] for p in procs)
     assert results == ["lost", "won"]
