@@ -42,7 +42,7 @@ def _zip_engine(dst: str) -> str:
     return zpath
 
 
-def _submit(zpath: str, tok_path: str, store: str) -> dict:
+def _submit(zpath: str, tok_path: str, store: str, *extra: str) -> dict:
     out = subprocess.run(
         [
             SPARK_SUBMIT,
@@ -55,6 +55,7 @@ def _submit(zpath: str, tok_path: str, store: str) -> dict:
             "--store", store,
             "--tiers", "1h,1d,1mo",
             "--compress", "--verify-codec",
+            *extra,
         ],
         capture_output=True, text=True, timeout=600,
         cwd="/tmp",  # NOT the repo: only the zip provides the package
@@ -76,6 +77,14 @@ def test_spark_submit_pyfiles_multi_executor(spark, tok, tmp_path):
     assert res["codec_roundtrip_ok"] == {"1h": True, "1d": True, "1mo": True}
 
     # resume: a second submit (fresh driver + executors) finds the manifest
-    # and rebuilds NOTHING
-    res2 = _submit(zpath, tok_path, store)
+    # and rebuilds NOTHING — and in the same run exercises the retention +
+    # gc tail of the pipeline (r5): 1h months before the cutoff are dropped
+    # once 1d verifies, and a zero-grace gc (safe here: no concurrent
+    # writer) physically collects the dropped dirs
+    res2 = _submit(zpath, tok_path, store,
+                   "--retain-before", "2023-01", "--gc", "--gc-min-age", "0")
     assert res2["built_partitions"] == {"1h": 0, "1d": 0, "1mo": 0}
+    dropped = res2.get("dropped_partitions", {}).get("1h", [])
+    assert dropped, res2  # the fixture spans 2022 months, so some must drop
+    assert all(m < "2023-01" for m in dropped)
+    assert res2["gc_removed_dirs"]["1h"] >= len(dropped)
