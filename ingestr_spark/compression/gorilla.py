@@ -684,13 +684,6 @@ def decode_values(blob: bytes) -> np.ndarray:
     lead, mlen, trail = 0, 0, 0
     i = 1
     while i < n:
-        # zero-byte fast path: eight '0' controls = eight repeated values
-        if pos & 7 == 0 and i + 8 <= n and pos < blen and data[pos >> 3] == 0:
-            out[i:i + 8] = cur
-            i += 8
-            pos += 8
-            streak = 0
-            continue
         if pos >= blen:
             raise ValueError(f"truncated blob: need bit {pos + 1}, have {blen}")
         # Fused single-window parse (r5, corpus floor work): ONE 11-byte
@@ -702,10 +695,20 @@ def decode_values(blob: bytes) -> np.ndarray:
         b0 = pos >> 3
         w = from_bytes(datap[b0:b0 + 11], "big")
         wend = (b0 << 3) + 88
-        if not (w >> (wend - pos - 1)) & 1:  # '0' control: repeat
-            pos += 1
-            out[i] = cur
-            i += 1
+        avail = wend - pos  # 81..88 window bits from pos (padded past blen)
+        if not (w >> (avail - 1)) & 1:  # '0' control(s): repeat run
+            v = w & ((1 << avail) - 1)
+            # every leading zero bit is one repeat — consume the whole run
+            # visible in this window in ONE step (any alignment; replaces
+            # the old byte-aligned-only x8 path), capped at the real bit
+            # length so padding zeros are never consumed
+            k = min(avail - v.bit_length(), blen - pos, n - i)
+            if k == 1:
+                out[i] = cur
+            else:
+                out[i:i + k] = cur
+            pos += k
+            i += k
             streak = 0
             continue
         if pos + 2 > blen:
