@@ -302,31 +302,42 @@ def decode_timestamps(blob: bytes) -> np.ndarray:
 
 
 def _decode_ts_loop(data, pos, blen, n, delta, prev, out, i):
+    """Fused-window loop (r5, same rework as decode_values): ONE 11-byte
+    read holds a complete field at any alignment (7 alignment + 4 control
+    + 64 payload = 75 <= 88 bits). A run of '0' controls is a dod=0
+    ARITHMETIC run — filled vectorized as prev + delta*arange, up to ~86
+    points per window read (the old fast path needed byte alignment and
+    took 8 at a time). The endpoint is range-checked with exact python
+    ints; intermediates are bounded by the monotonic endpoints, so int64
+    wrap arithmetic inside numpy stays exact."""
     from_bytes = int.from_bytes
     _PAYLOAD = (0, 7, 9, 12, 64)
+    INT64_MAX = 0x7FFFFFFFFFFFFFFF
+    datap = data + b"\x00" * 16  # fixed-width window reads never run short
     while i < n:
-        # fast path mirroring the encoder's zero-run bulk writes: at a
-        # control-bit position, a 0x00 byte is exactly eight '0' controls
-        # (eight dod=0 points) — consume them without per-bit reads
-        if pos & 7 == 0 and i + 8 <= n and pos < blen and data[pos >> 3] == 0:
-            for _ in range(8):
-                prev += delta
-                out[i] = prev
-                i += 1
-            pos += 8
-            continue
-        peek = min(4, blen - pos)
-        if peek <= 0:
+        if pos >= blen:
             raise ValueError(f"truncated blob: need bit {pos + 1}, have {blen}")
-        end = pos + peek
-        last = (end + 7) >> 3
-        c = (
-            (from_bytes(data[pos >> 3:last], "big") >> ((last << 3) - end))
-            & ((1 << peek) - 1)
-        ) << (4 - peek)  # left-align into 4 bits
-        if c < 8:
-            ones = 0
-        elif c < 12:
+        b0 = pos >> 3
+        w = from_bytes(datap[b0:b0 + 11], "big")
+        wend = (b0 << 3) + 88
+        avail = wend - pos  # 81..88 window bits from pos (padded past blen)
+        if not (w >> (avail - 1)) & 1:  # '0' control(s): dod=0 run
+            v = w & ((1 << avail) - 1)
+            k = min(avail - v.bit_length(), blen - pos, n - i)
+            endv = prev + delta * k  # exact python int
+            if endv > INT64_MAX or endv < -INT64_MAX - 1:
+                raise OverflowError  # caller maps to corrupt-blob ValueError
+            if k == 1:
+                prev = endv
+                out[i] = prev
+            else:
+                out[i:i + k] = prev + delta * np.arange(1, k + 1, dtype=np.int64)
+                prev = endv
+            pos += k
+            i += k
+            continue
+        c = (w >> (avail - 4)) & 15  # top bit is 1, so ones >= 1
+        if c < 12:
             ones = 1
         elif c < 14:
             ones = 2
@@ -335,22 +346,15 @@ def _decode_ts_loop(data, pos, blen, n, delta, prev, out, i):
         else:
             ones = 4
         ctl_bits = ones + 1 if ones < 4 else 4
-        if ctl_bits > peek:
+        if pos + ctl_bits > blen:
             raise ValueError(f"truncated blob: need bit {pos + ctl_bits}, have {blen}")
-        pos += ctl_bits
         nbits = _PAYLOAD[ones]
-        if nbits == 0:
-            dod = 0
-        else:
-            end = pos + nbits
-            if end > blen:
-                raise ValueError(f"truncated blob: need bit {end}, have {blen}")
-            last = (end + 7) >> 3
-            u = (from_bytes(data[pos >> 3:last], "big") >> ((last << 3) - end)) & (
-                (1 << nbits) - 1
-            )
-            pos = end
-            dod = (u >> 1) ^ -(u & 1)
+        fend = pos + ctl_bits + nbits
+        if fend > blen:
+            raise ValueError(f"truncated blob: need bit {fend}, have {blen}")
+        u = (w >> (wend - fend)) & ((1 << nbits) - 1)
+        pos = fend
+        dod = (u >> 1) ^ -(u & 1)
         delta += dod
         prev += delta
         out[i] = prev
