@@ -301,6 +301,82 @@ def decode_timestamps(blob: bytes) -> np.ndarray:
         raise ValueError("corrupt blob: value out of int64 range") from e
 
 
+_TS_PREFIX_VAL = (0, 0b10, 0b110, 0b1110)  # control value per bucket (ones)
+_TS_CTL_BITS = (1, 2, 3, 4)
+_TS_OFFSETS4 = np.arange(4, dtype=np.int64)
+
+
+def _cumsum_checked(base: int, x: np.ndarray) -> np.ndarray:
+    """``base + cumsum(x)`` in int64 with EXACT overflow detection: raises
+    OverflowError if any partial sum leaves int64 (xor sign rule per step,
+    vectorized — valid blobs never trip it because every true partial is a
+    real in-range value; corrupt payloads must not wrap silently)."""
+    c = np.cumsum(x)  # may wrap
+    a = np.concatenate((np.zeros(1, dtype=np.int64), c[:-1]))
+    if bool(np.any(((a ^ x) >= 0) & ((a ^ c) < 0))):
+        raise OverflowError
+    b = np.int64(base) if -2**63 <= base < 2**63 else None
+    if b is None:
+        raise OverflowError
+    s = b + c  # may wrap
+    if bool(np.any(((c ^ b) >= 0) & ((c ^ s) < 0))):
+        raise OverflowError
+    return s
+
+
+def _speculative_ts_run_decode(data_np, pos, ones, delta, prev, out, i, n, blen):
+    """Bulk-decode a run of SAME-BUCKET dod fields (buckets '10'/'110'/
+    '1110' — 9/12/16-bit fields): gather each field's 4-byte window in one
+    2-D take, verify the control prefixes, unzigzag the payload, and
+    reconstruct the double prefix-sum (dod → delta → timestamp) with
+    overflow-checked cumsums. Consumes only the verified prefix; the
+    caller's scalar loop handles the first non-matching control. Mirrors
+    :func:`_speculative_run_decode` on the value side."""
+    nbits = (0, 7, 9, 12, 64)[ones]
+    ctl = _TS_CTL_BITS[ones]
+    prefix = _TS_PREFIX_VAL[ones]
+    W = ctl + nbits
+    batch = 64
+    while i < n:
+        k_max = min(n - i, (blen - pos) // W, batch)
+        batch = min(batch * 8, 1 << 16)
+        if k_max <= 0:
+            return pos, delta, prev, i
+        starts = pos + W * np.arange(k_max, dtype=np.int64)
+        sb = starts >> 3
+        sr = (starts & 7).astype(np.uint64)
+        win = np.ascontiguousarray(data_np[sb[:, None] + _TS_OFFSETS4])
+        u32 = win.view(">u4")[:, 0].astype(np.uint64)
+        field = (u32 >> (np.uint64(32 - W) - sr)) & np.uint64((1 << W) - 1)
+        ok = (field >> np.uint64(nbits)) == prefix
+        k = k_max if ok.all() else int(np.argmax(~ok))
+        if k == 0:
+            return pos, delta, prev, i
+        u = field[:k] & np.uint64((1 << nbits) - 1)
+        dods = ((u >> np.uint64(1)) ^ (~(u & np.uint64(1)) + np.uint64(1))).view(
+            np.int64
+        )
+        # cheap exact safety bound: |dod| <= 2^(nbits-1), so the extreme
+        # reachable |delta| and |timestamp| over k steps are scalar
+        # arithmetic — when comfortably inside int64 (every real series;
+        # epoch seconds are ~2^31) skip the elementwise overflow checks
+        dmax = abs(delta) + k * (1 << (nbits - 1))
+        if dmax < 2**62 and abs(prev) + k * dmax < 2**62:
+            deltas = np.int64(delta) + np.cumsum(dods)
+            prevs = np.int64(prev) + np.cumsum(deltas)
+        else:
+            deltas = _cumsum_checked(delta, dods)
+            prevs = _cumsum_checked(prev, deltas)
+        out[i:i + k] = prevs
+        delta = int(deltas[-1])
+        prev = int(prevs[-1])
+        i += k
+        pos += W * k
+        if k < k_max:
+            return pos, delta, prev, i  # non-matching control: scalar resumes
+    return pos, delta, prev, i
+
+
 def _decode_ts_loop(data, pos, blen, n, delta, prev, out, i):
     """Fused-window loop (r5, same rework as decode_values): ONE 11-byte
     read holds a complete field at any alignment (7 alignment + 4 control
@@ -309,11 +385,19 @@ def _decode_ts_loop(data, pos, blen, n, delta, prev, out, i):
     points per window read (the old fast path needed byte alignment and
     took 8 at a time). The endpoint is range-checked with exact python
     ints; intermediates are bounded by the monotonic endpoints, so int64
-    wrap arithmetic inside numpy stays exact."""
+    wrap arithmetic inside numpy stays exact. Runs of SAME-bucket nonzero
+    dods hand off to :func:`_speculative_ts_run_decode` after a short
+    streak, like the value decoder's bulk path."""
     from_bytes = int.from_bytes
     _PAYLOAD = (0, 7, 9, 12, 64)
     INT64_MAX = 0x7FFFFFFFFFFFFFFF
     datap = data + b"\x00" * 16  # fixed-width window reads never run short
+    data_np = np.frombuffer(datap, dtype=np.uint8)
+    streak = 0
+    last_ones = 0
+    spec_calls = 0
+    spec_consumed = 0
+    spec_on = True
     while i < n:
         if pos >= blen:
             raise ValueError(f"truncated blob: need bit {pos + 1}, have {blen}")
@@ -335,6 +419,7 @@ def _decode_ts_loop(data, pos, blen, n, delta, prev, out, i):
                 prev = endv
             pos += k
             i += k
+            streak = 0
             continue
         c = (w >> (avail - 4)) & 15  # top bit is 1, so ones >= 1
         if c < 12:
@@ -359,6 +444,25 @@ def _decode_ts_loop(data, pos, blen, n, delta, prev, out, i):
         prev += delta
         out[i] = prev
         i += 1
+        if ones == last_ones:
+            streak += 1
+        else:
+            streak = 1
+            last_ones = ones
+        if spec_on and streak >= 6 and ones < 4 and i < n:
+            i0 = i
+            pos, delta, prev, i = _speculative_ts_run_decode(
+                data_np, pos, ones, delta, prev, out, i, n, blen
+            )
+            streak = 0  # bulk stopped at a non-matching control
+            # adaptive disable (same as the value decoder): a bulk call
+            # costs ~25 small numpy ops, breaking even near ~100 consumed
+            # points — short same-bucket runs (jittered cadences break a
+            # run every ~60 points with a dod=0) must stay scalar
+            spec_calls += 1
+            spec_consumed += i - i0
+            if spec_calls >= 8 and spec_consumed < 96 * spec_calls:
+                spec_on = False
     return out
 
 

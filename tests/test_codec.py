@@ -337,3 +337,30 @@ def test_adversarial_decode_corpus_roundtrips():
     for name, vs in _adversarial_value_corpus().items():
         out = decode_values(encode_values(vs))
         assert np.array_equal(out.view(np.uint64), vs.view(np.uint64)), name
+
+
+def test_ts_bulk_path_shapes_roundtrip():
+    """Shapes that drive the r5 timestamp bulk decoder (same-bucket dod
+    runs) and its adaptive disable — all must round-trip exactly."""
+    rng = np.random.default_rng(11)
+    shapes = [
+        # one long 12-bit-bucket run (alternating cadence, dod = ±1000)
+        np.cumsum(np.where(np.arange(20_000) % 2 == 0, 3600, 4600)).astype(np.int64),
+        # dense nonzero 7-bit dods (jitter pattern with no zeros)
+        np.cumsum(3600 + np.tile(
+            np.array([7, -3, 9, -11, 5, -7, 13, -9], dtype=np.int64), 2500
+        )).astype(np.int64),
+        # jittered with interspersed dod=0 (bulk thrashes → adaptive off)
+        np.cumsum(3600 + rng.integers(-30, 31, 20_000)).astype(np.int64),
+        # bucket CHANGES mid-run (7-bit → 12-bit) — verify must stop at it
+        np.cumsum(np.concatenate([
+            3600 + np.tile(np.array([7, -7], dtype=np.int64), 5000),
+            3600 + np.tile(np.array([900, -900], dtype=np.int64), 5000),
+        ])).astype(np.int64),
+        # near-int64 magnitudes: the checked-cumsum fallback path
+        (2**62 + np.cumsum(np.tile(
+            np.array([7, -3, 9, -11, 5, -7, 13, -9], dtype=np.int64), 1000
+        ))).astype(np.int64),
+    ]
+    for k, ts in enumerate(shapes):
+        assert np.array_equal(decode_timestamps(encode_timestamps(ts)), ts), k
