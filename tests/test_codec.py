@@ -364,3 +364,20 @@ def test_ts_bulk_path_shapes_roundtrip():
     ]
     for k, ts in enumerate(shapes):
         assert np.array_equal(decode_timestamps(encode_timestamps(ts)), ts), k
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.integers(-2**63, 2**63 - 1), min_size=0, max_size=40))
+def test_ts_encode_overflow_check_matches_exact_arithmetic(xs):
+    """The xor-rule overflow detector must agree EXACTLY with unbounded
+    python arithmetic: encode raises iff some true delta or delta-of-delta
+    leaves int64 — and when it doesn't raise, the round trip is exact."""
+    ts = np.array(xs, dtype=np.int64)
+    deltas = [xs[i + 1] - xs[i] for i in range(len(xs) - 1)]
+    dods = [deltas[i + 1] - deltas[i] for i in range(len(deltas) - 1)]
+    bad = any(not (-2**63 <= v <= 2**63 - 1) for v in deltas + dods)
+    if bad:
+        with pytest.raises(ValueError, match="exceeds int64"):
+            encode_timestamps(ts)
+    else:
+        assert np.array_equal(decode_timestamps(encode_timestamps(ts)), ts)
