@@ -283,7 +283,10 @@ def decode_timestamps(blob: bytes) -> np.ndarray:
     d = r.read(64)
     delta = d - (1 << 64) if d >= (1 << 63) else d
     try:
-        out[1] = out[0] + delta
+        # exact python-int sum: numpy scalar addition would WRAP silently
+        # for an adversarial header (t0 near the int64 edge), decoding
+        # wrong values instead of raising (review r5)
+        out[1] = int(out[0]) + delta
     except OverflowError as e:
         raise ValueError("corrupt blob: value out of int64 range") from e
     # Inlined bit reader (r4, same rework as decode_values): one ≤4-bit
@@ -307,19 +310,22 @@ _TS_OFFSETS4 = np.arange(4, dtype=np.int64)
 
 
 def _cumsum_checked(base: int, x: np.ndarray) -> np.ndarray:
-    """``base + cumsum(x)`` in int64 with EXACT overflow detection: raises
-    OverflowError if any partial sum leaves int64 (xor sign rule per step,
-    vectorized — valid blobs never trip it because every true partial is a
-    real in-range value; corrupt payloads must not wrap silently)."""
-    c = np.cumsum(x)  # may wrap
-    a = np.concatenate((np.zeros(1, dtype=np.int64), c[:-1]))
-    if bool(np.any(((a ^ x) >= 0) & ((a ^ c) < 0))):
+    """``base + cumsum(x)`` in int64 with EXACT overflow detection on the
+    SHIFTED sequence ``s_j = s_{j-1} + x_j`` (s_0 = base): raises
+    OverflowError iff some true running value leaves int64. The xor sign
+    rule is applied per step to (s_{j-1}, x_j, s_j) — NOT to the
+    base-relative cumsum partials, which may legitimately leave int64 for
+    valid blobs (a partial is ``value_j - base``, a difference of two
+    in-range values spanning up to 2^64; review r5 regression). Until the
+    first overflow every s_{j-1} equals the true value, so first-failure
+    detection is exact; valid blobs never trip it because each true
+    running value (a delta or a timestamp) is in range by the encoder's
+    precondition."""
+    if not (-2**63 <= base < 2**63):
         raise OverflowError
-    b = np.int64(base) if -2**63 <= base < 2**63 else None
-    if b is None:
-        raise OverflowError
-    s = b + c  # may wrap
-    if bool(np.any(((c ^ b) >= 0) & ((c ^ s) < 0))):
+    s = np.int64(base) + np.cumsum(x)  # wrap arithmetic ≡ true values mod 2^64
+    a = np.concatenate((np.asarray([base], dtype=np.int64), s[:-1]))
+    if bool(np.any(((a ^ x) >= 0) & ((a ^ s) < 0))):
         raise OverflowError
     return s
 

@@ -381,3 +381,36 @@ def test_ts_encode_overflow_check_matches_exact_arithmetic(xs):
             encode_timestamps(ts)
     else:
         assert np.array_equal(decode_timestamps(encode_timestamps(ts)), ts)
+
+
+def test_ts_decode_checked_cumsum_accepts_valid_extreme_partials():
+    """Review r5 regression: a VALID series whose intermediate
+    (value - base) partials leave int64 — while every true delta and
+    timestamp is in range — must round-trip, not be rejected as corrupt.
+    Alternating dod=±1 with huge deltas drives the same-bucket bulk path
+    into the checked-cumsum fallback."""
+    deltas = np.empty(16, dtype=object)
+    deltas[0::2] = 2**60 - 2**56
+    deltas[1::2] = 2**60 - 2**56 + 1  # dod alternates +1/-1 (7-bit bucket)
+    start = -(2**63) + 2
+    vals = [start]
+    for d in deltas:
+        vals.append(vals[-1] + int(d))
+    ts = np.array(vals, dtype=np.int64)
+    assert np.array_equal(decode_timestamps(encode_timestamps(ts)), ts)
+
+
+def test_ts_decode_corrupt_header_near_int64_edge_raises():
+    """Review r5: a crafted blob whose header t0 + first delta leaves
+    int64 must raise, not silently wrap (numpy scalar addition wraps)."""
+    from ingestr_spark.compression.gorilla import CODEC_VERSION
+
+    t0 = 2**63 - 1
+    blob = (
+        bytes([CODEC_VERSION])
+        + (2).to_bytes(4, "big")       # n = 2
+        + t0.to_bytes(8, "big")        # first value at the int64 edge
+        + (1).to_bytes(8, "big")       # first delta = 1 → t1 = 2^63 (!)
+    )
+    with pytest.raises(ValueError, match="out of int64 range"):
+        decode_timestamps(blob)
