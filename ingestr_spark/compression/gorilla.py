@@ -330,56 +330,99 @@ def _cumsum_checked(base: int, x: np.ndarray) -> np.ndarray:
     return s
 
 
-def _speculative_ts_run_decode(data_np, pos, ones, delta, prev, out, i, n, blen):
+def _speculative_ts_run_decode(data_np, datap, pos, ones, delta, prev, out, i, n, blen):
     """Bulk-decode a run of SAME-BUCKET dod fields (buckets '10'/'110'/
     '1110' — 9/12/16-bit fields): gather each field's 4-byte window in one
     2-D take, verify the control prefixes, unzigzag the payload, and
     reconstruct the double prefix-sum (dod → delta → timestamp) with
-    overflow-checked cumsums. Consumes only the verified prefix; the
-    caller's scalar loop handles the first non-matching control. Mirrors
+    overflow-checked cumsums. Consumes only the verified prefix. When the
+    run is broken by a '0' (dod=0) control — jittered cadences hit one
+    every ~60 points — the zero-run is consumed here too (one window read
+    + arithmetic fill) and the bulk loop CONTINUES, so a whole
+    zeros-interleaved bucket run decodes without bouncing back to the
+    scalar loop; any other control returns to the caller. Mirrors
     :func:`_speculative_run_decode` on the value side."""
     nbits = (0, 7, 9, 12, 64)[ones]
     ctl = _TS_CTL_BITS[ones]
     prefix = _TS_PREFIX_VAL[ones]
     W = ctl + nbits
     batch = 64
+    from_bytes = int.from_bytes
     while i < n:
         k_max = min(n - i, (blen - pos) // W, batch)
-        batch = min(batch * 8, 1 << 16)
         if k_max <= 0:
-            return pos, delta, prev, i
-        starts = pos + W * np.arange(k_max, dtype=np.int64)
-        sb = starts >> 3
-        sr = (starts & 7).astype(np.uint64)
-        win = np.ascontiguousarray(data_np[sb[:, None] + _TS_OFFSETS4])
-        u32 = win.view(">u4")[:, 0].astype(np.uint64)
-        field = (u32 >> (np.uint64(32 - W) - sr)) & np.uint64((1 << W) - 1)
-        ok = (field >> np.uint64(nbits)) == prefix
-        k = k_max if ok.all() else int(np.argmax(~ok))
-        if k == 0:
-            return pos, delta, prev, i
-        u = field[:k] & np.uint64((1 << nbits) - 1)
-        dods = ((u >> np.uint64(1)) ^ (~(u & np.uint64(1)) + np.uint64(1))).view(
-            np.int64
-        )
-        # cheap exact safety bound: |dod| <= 2^(nbits-1), so the extreme
-        # reachable |delta| and |timestamp| over k steps are scalar
-        # arithmetic — when comfortably inside int64 (every real series;
-        # epoch seconds are ~2^31) skip the elementwise overflow checks
-        dmax = abs(delta) + k * (1 << (nbits - 1))
-        if dmax < 2**62 and abs(prev) + k * dmax < 2**62:
-            deltas = np.int64(delta) + np.cumsum(dods)
-            prevs = np.int64(prev) + np.cumsum(deltas)
+            k = k_max = 0
+            # fall through to the zero-run attempt: fewer than W bits may
+            # remain, but a short dod=0 tail can still be consumed here
         else:
-            deltas = _cumsum_checked(delta, dods)
-            prevs = _cumsum_checked(prev, deltas)
-        out[i:i + k] = prevs
-        delta = int(deltas[-1])
-        prev = int(prevs[-1])
-        i += k
-        pos += W * k
-        if k < k_max:
-            return pos, delta, prev, i  # non-matching control: scalar resumes
+            starts = pos + W * np.arange(k_max, dtype=np.int64)
+            sb = starts >> 3
+            sr = (starts & 7).astype(np.uint64)
+            win = np.ascontiguousarray(data_np[sb[:, None] + _TS_OFFSETS4])
+            u32 = win.view(">u4")[:, 0].astype(np.uint64)
+            field = (u32 >> (np.uint64(32 - W) - sr)) & np.uint64((1 << W) - 1)
+            ok = (field >> np.uint64(nbits)) == prefix
+            k = k_max if ok.all() else int(np.argmax(~ok))
+            if k:
+                u = field[:k] & np.uint64((1 << nbits) - 1)
+                dods = ((u >> np.uint64(1))
+                        ^ (~(u & np.uint64(1)) + np.uint64(1))).view(np.int64)
+                # cheap exact safety bound: |dod| <= 2^(nbits-1), so the
+                # extreme reachable |delta| and |timestamp| over k steps
+                # are scalar arithmetic — when comfortably inside int64
+                # (every real series; epoch seconds are ~2^31) skip the
+                # elementwise overflow checks
+                dmax = abs(delta) + k * (1 << (nbits - 1))
+                if dmax < 2**62 and abs(prev) + k * dmax < 2**62:
+                    deltas = np.int64(delta) + np.cumsum(dods)
+                    prevs = np.int64(prev) + np.cumsum(deltas)
+                else:
+                    deltas = _cumsum_checked(delta, dods)
+                    prevs = _cumsum_checked(prev, deltas)
+                out[i:i + k] = prevs
+                delta = int(deltas[-1])
+                prev = int(prevs[-1])
+                i += k
+                pos += W * k
+        if k == k_max and k_max > 0:
+            # batch exhausted mid-run: grow and keep bulking (growth ONLY
+            # here — growing after a short verified prefix would balloon
+            # the gather to 64k elements per ~60-point segment on jittered
+            # series, a quadratic-style blowup)
+            batch = min(batch * 8, 1 << 16)
+            continue
+        # stopped at a non-bucket control: if it is a '0' (dod=0) run,
+        # consume it here and keep bulking; anything else → scalar resumes
+        if pos >= blen or i >= n:
+            return pos, delta, prev, i
+        if k < 96:
+            # the bucket segment before this break was below the bulk
+            # break-even (~96 points: a gather + verify + double cumsum is
+            # ~25 numpy calls): staying here would run SLOWER than the
+            # scalar loop — measured 7x regression on sparse-jitter
+            # singletons and ~15% on ~60-point jitter segments. Return;
+            # the caller's streak gate + adaptive disable then settle
+            # short-segment blobs on the scalar loop
+            return pos, delta, prev, i
+        b0 = pos >> 3
+        w = from_bytes(datap[b0:b0 + 11], "big")
+        avail = (b0 << 3) + 88 - pos
+        if (w >> (avail - 1)) & 1:
+            return pos, delta, prev, i  # '1…' control of another bucket
+        v = w & ((1 << avail) - 1)
+        z = min(avail - v.bit_length(), blen - pos, n - i)
+        endv = prev + delta * z  # exact python int
+        if endv > 0x7FFFFFFFFFFFFFFF or endv < -0x8000000000000000:
+            raise OverflowError  # caller maps to corrupt-blob ValueError
+        if z == 1:
+            prev = endv
+            out[i] = prev
+        else:
+            out[i:i + z] = prev + delta * np.arange(1, z + 1, dtype=np.int64)
+            prev = endv
+        pos += z
+        i += z
+        batch = 64  # new segment: start with a small gather again
     return pos, delta, prev, i
 
 
@@ -458,7 +501,7 @@ def _decode_ts_loop(data, pos, blen, n, delta, prev, out, i):
         if spec_on and streak >= 6 and ones < 4 and i < n:
             i0 = i
             pos, delta, prev, i = _speculative_ts_run_decode(
-                data_np, pos, ones, delta, prev, out, i, n, blen
+                data_np, datap, pos, ones, delta, prev, out, i, n, blen
             )
             streak = 0  # bulk stopped at a non-matching control
             # adaptive disable (same as the value decoder): a bulk call
@@ -716,7 +759,6 @@ def _speculative_run_decode(
     batch = 64
     while i < n:
         k_max = min(n - i, (blen - pos) // W, batch)
-        batch = min(batch * 8, 1 << 16)
         if k_max <= 0:
             return pos, cur, i
         starts = pos + W * np.arange(k_max, dtype=np.int64)

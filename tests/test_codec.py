@@ -361,6 +361,12 @@ def test_ts_bulk_path_shapes_roundtrip():
         (2**62 + np.cumsum(np.tile(
             np.array([7, -3, 9, -11, 5, -7, 13, -9], dtype=np.int64), 1000
         ))).astype(np.int64),
+        # long bucket runs BROKEN by short dod=0 stretches: the bulk
+        # path's zero-run continuation (segment >= 96 → keep bulking)
+        np.cumsum(np.tile(np.concatenate([
+            3600 + np.tile(np.array([11, -11], dtype=np.int64), 100),
+            np.full(5, 3589, dtype=np.int64),
+        ]), 40)).astype(np.int64),
     ]
     for k, ts in enumerate(shapes):
         assert np.array_equal(decode_timestamps(encode_timestamps(ts)), ts), k
