@@ -24,6 +24,13 @@ mutation anywhere on the read or commit path:
 * **Retention drops are metadata-only**: a new snapshot without the expired
   months. The files become unreferenced and are collected later — Iceberg's
   ``DELETE WHERE`` + expire-snapshots split.
+* **Time travel + incremental scan come free (r5).** Any snapshot inside
+  :meth:`gc`'s ``keep_snapshots`` window is fully readable
+  (``read_tier(version=N)`` — Iceberg's ``VERSION AS OF``), two snapshots
+  diff by pointer comparison alone (:meth:`snapshot_diff`), and
+  :meth:`read_changes` yields the added/changed month-partitions between two
+  versions (Iceberg's incremental read, at copy-on-write month granularity).
+  Reading an expired version fails loudly with the retained window.
 * **gc vs in-flight writers (r5)**: a job's data dirs are unreferenced
   until its snapshot links, so :meth:`gc` skips unreferenced dirs younger
   than ``min_age_seconds`` (default 3 days — Iceberg's remove_orphan_files
@@ -100,14 +107,31 @@ class AggregateStore:
             if f.startswith("v") and f.endswith(".json")
         )
 
+    def snapshot(self, tier: str, version: int | None = None) -> dict:
+        """Load one committed snapshot — the latest when ``version`` is None,
+        else exactly ``v<version>.json``. Version 0 is the canonical empty
+        state (a tier never written, or "before everything" as a diff base).
+        A version that never existed or was expired by :meth:`gc` raises
+        with the retained window spelled out, so time-travel misses are loud
+        rather than silently reading the wrong state."""
+        versions = self._snapshot_versions(tier)
+        if version is None:
+            version = versions[-1] if versions else 0
+        if version == 0:
+            return {"version": 0, "partitions": {}, "job_id": None}
+        if version not in versions:
+            raise FileNotFoundError(
+                f"tier {tier}: snapshot v{version} not found — retained "
+                f"versions are {versions or '[]'} (expired by gc, or never "
+                "committed)"
+            )
+        with open(f"{self.snapshots_path(tier)}/v{version}.json") as fh:
+            return json.load(fh)
+
     def current_snapshot(self, tier: str) -> dict:
         """Latest committed snapshot; {} partitions when the tier has never
         been written."""
-        versions = self._snapshot_versions(tier)
-        if not versions:
-            return {"version": 0, "partitions": {}, "job_id": None}
-        with open(f"{self.snapshots_path(tier)}/v{versions[-1]}.json") as fh:
-            return json.load(fh)
+        return self.snapshot(tier)
 
     def committed_job_ids(self, tier: str) -> set[str]:
         """Every job that ever committed a snapshot (the snapshot log is the
@@ -195,15 +219,27 @@ class AggregateStore:
         df.coalesce(1).write.mode("append").parquet(self.manifest_path(tier))
 
     # ---- reads ------------------------------------------------------------
-    def read_tier(self, tier: str, months: list[str] | None = None) -> DataFrame:
-        """Resolve the tier through the current snapshot. ``months`` prunes
-        at the METADATA level — unselected partitions never even enter the
-        plan (the snapshot is the partition index, like Iceberg manifests)."""
-        parts = self.current_snapshot(tier)["partitions"]
+    def read_tier(
+        self,
+        tier: str,
+        months: list[str] | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Resolve the tier through a snapshot — the current one by default,
+        or a retained historical one via ``version`` (TIME TRAVEL: Iceberg's
+        ``VERSION AS OF``). ``months`` prunes at the METADATA level —
+        unselected partitions never even enter the plan (the snapshot is the
+        partition index, like Iceberg manifests). Data dirs are immutable and
+        :meth:`gc` only deletes dirs unreferenced by every RETAINED snapshot,
+        so any version that still loads resolves to live files."""
+        parts = self.snapshot(tier, version)["partitions"]
         if months is not None:
             parts = {m: d for m, d in parts.items() if m in months}
         if not parts:
-            raise FileNotFoundError(f"tier {tier}: no committed partitions")
+            raise FileNotFoundError(
+                f"tier {tier}: no committed partitions"
+                + (f" at snapshot v{version}" if version is not None else "")
+            )
         parts = {m: self._resolve(d) for m, d in parts.items()}
         # group month dirs by their owning job dir so each read keeps the
         # p_month partition column (basePath) and the plan stays small
@@ -219,6 +255,41 @@ class AggregateStore:
         for f in frames[1:]:
             out = out.unionByName(f)
         return out
+
+    def snapshot_diff(
+        self, tier: str, from_version: int, to_version: int | None = None
+    ) -> dict[str, list[str]]:
+        """Metadata-only diff between two retained snapshots: which months
+        were ``added`` (absent before), ``removed`` (dropped by retention),
+        or ``changed`` (same month re-pointed at a different data dir by an
+        incremental merge). ``from_version=0`` diffs against the empty store
+        ("everything since the beginning"). Pure pointer comparison — no
+        data files are opened (Iceberg's snapshot-summary diff)."""
+        a = self.snapshot(tier, from_version)["partitions"]
+        b = self.snapshot(tier, to_version)["partitions"]
+        return {
+            "added": sorted(m for m in b if m not in a),
+            "removed": sorted(m for m in a if m not in b),
+            "changed": sorted(m for m in b if m in a and b[m] != a[m]),
+        }
+
+    def read_changes(
+        self, tier: str, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Incremental scan (Iceberg's ``incremental read`` between
+        snapshots): the rows of every month ADDED or CHANGED after
+        ``from_version``, resolved through the ``to_version`` (default
+        current) snapshot. Granularity is copy-on-write month-partitions —
+        a changed month re-emits ALL its rows, not a row-level delta — which
+        is exactly what a downstream cascade consumer needs to recompute
+        (coarser tiers recombine whole months algebraically). Returns an
+        empty DataFrame with the tier schema when nothing changed."""
+        d = self.snapshot_diff(tier, from_version, to_version)
+        months = sorted(set(d["added"]) | set(d["changed"]))
+        if not months:
+            # schema from the to-snapshot (or current) so callers can union
+            return self.read_tier(tier, version=to_version).limit(0)
+        return self.read_tier(tier, months=months, version=to_version)
 
     # ---- tier build with checkpoint/resume --------------------------------
     def build_tier(
@@ -389,6 +460,54 @@ class AggregateStore:
             tier, {m: f"{data_dir}/p_month={m}" for m in months}, job_id
         )
         self._log_job_from_data(tier, job_id)
+        return months
+
+    def cascade_refresh(
+        self,
+        finer: str,
+        coarser: str,
+        since_version: int,
+        job_id: str | None = None,
+    ) -> list[str]:
+        """Diff-driven continuous-aggregate maintenance (r5): recompute the
+        coarser tier for EXACTLY the months the finer tier added or changed
+        since ``since_version``, sourced through :meth:`read_changes`.
+        Month-partitions align across tiers (every tier's ``p_month`` is the
+        calendar month of its bucket), and a finer month-partition always
+        holds the FULL month after any merge (copy-on-write granularity), so
+        each affected coarser month is recomputed whole from the finer rows —
+        no cross-month state, no touching unaffected partitions.
+
+        Same exactly-once shape as :meth:`incremental_update`: a replayed
+        ``job_id`` that already committed reconciles the manifest and
+        returns []. Returns the refreshed months.
+        """
+        job_id = job_id or uuid.uuid4().hex[:12]
+        if job_id in self.committed_job_ids(coarser):
+            m = self.read_manifest(coarser)
+            logged = (
+                m is not None
+                and m.filter(F.col("job_id") == job_id).limit(1).count() > 0
+            )
+            if not logged:
+                self._log_job_from_data(coarser, job_id)
+            return []
+        d = self.snapshot_diff(finer, since_version)
+        months = sorted(set(d["added"]) | set(d["changed"]))
+        if not months:
+            return []
+        src = self.read_tier(finer, months=months)
+        agg = rollup_cascade(src, coarser).withColumn(
+            "p_month", F.date_format("bucket", "yyyy-MM")
+        )
+        data_dir = self.data_path(coarser, job_id)
+        agg.repartition("p_month", "source").write.mode("overwrite").partitionBy(
+            "p_month"
+        ).parquet(data_dir)
+        self._commit_snapshot(
+            coarser, {m: f"{data_dir}/p_month={m}" for m in months}, job_id
+        )
+        self._log_job_from_data(coarser, job_id)
         return months
 
     def _log_job_from_data(self, tier: str, job_id: str) -> None:

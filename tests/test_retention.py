@@ -303,3 +303,109 @@ def test_gc_grace_protects_inflight_commit(spark, tok, tmp_path):
     assert not any("inflight_b" in d for d in s.gc("1h"))
     s._commit_snapshot("1h", {"2099-03": inflight2}, job_id="inflight_b")
     assert "2099-03" in s.current_snapshot("1h")["partitions"]
+
+
+def test_time_travel_diff_and_incremental_scan(spark, tok, tmp_path):
+    """Snapshot time travel + diff + incremental read (r5, Iceberg parity):
+    v1 = initial build over the early months, v2 = incremental merge that
+    ADDS the late months and CHANGES the boundary month. A reader pinned to
+    v1 must keep seeing exactly the v1 state after v2 commits; the diff is a
+    pure pointer comparison; read_changes yields precisely the added+changed
+    month-partitions at full copy-on-write granularity."""
+    s = AggregateStore(spark, str(tmp_path / "store_tt"))
+    with_m = tok.withColumn("_m", F.date_format("ts", "yyyy-MM"))
+    months = sorted(r["_m"] for r in with_m.select("_m").distinct().collect())
+    assert len(months) >= 2
+    mid = months[len(months) // 2]
+    # disjoint split that lands the boundary month in BOTH batches
+    batch1 = with_m.filter(
+        (F.col("_m") < mid) | ((F.col("_m") == mid) & (F.col("id") % 2 == 0))
+    ).drop("_m")
+    batch2 = with_m.filter(
+        (F.col("_m") > mid) | ((F.col("_m") == mid) & (F.col("id") % 2 == 1))
+    ).drop("_m")
+    n1, n_all = batch1.count(), tok.count()
+
+    s.build_tier("1d", batch1)                       # -> v1
+    s.incremental_update("1d", batch2)               # -> v2
+    assert s.current_snapshot("1d")["version"] == 2
+
+    # time travel: v1 still reads as exactly the pre-merge state
+    assert s.read_tier("1d", version=1).agg(F.sum("n_seq")).collect()[0][0] == n1
+    assert s.read_tier("1d").agg(F.sum("n_seq")).collect()[0][0] == n_all
+
+    # metadata diff: late months added, boundary month re-pointed
+    d = s.snapshot_diff("1d", 1, 2)
+    assert d["added"] == [m for m in months if m > mid]
+    assert d["removed"] == []
+    assert d["changed"] == [mid]
+    # against the empty base: everything is new
+    assert s.snapshot_diff("1d", 0)["added"] == months
+
+    # incremental scan = all rows of the added+changed months at v2
+    ch = s.read_changes("1d", 1)
+    got_months = {
+        r["_m"] for r in ch.select(
+            F.date_format("bucket", "yyyy-MM").alias("_m")).distinct().collect()
+    }
+    assert got_months == {m for m in months if m >= mid}
+    n_expect = with_m.filter(F.col("_m") >= mid).count()
+    assert ch.agg(F.sum("n_seq")).collect()[0][0] == n_expect
+    # no-op window: empty frame, same schema as the tier
+    same = s.read_changes("1d", 2, 2)
+    assert same.count() == 0 and same.columns == ch.columns
+
+    # gc with keep_snapshots=2 retains v1's files: the pinned reader survives
+    s.gc("1d", keep_snapshots=2, min_age_seconds=0)
+    assert s.read_tier("1d", version=1).agg(F.sum("n_seq")).collect()[0][0] == n1
+
+    # expiring down to the current snapshot makes v1 loudly unreadable,
+    # collects only the superseded boundary-month dir, and keeps v2 whole
+    s.gc("1d", keep_snapshots=1, min_age_seconds=0)
+    with pytest.raises(FileNotFoundError, match="retained versions"):
+        s.snapshot("1d", 1)
+    with pytest.raises(FileNotFoundError, match="retained versions"):
+        s.read_tier("1d", version=1)
+    assert s.read_tier("1d").agg(F.sum("n_seq")).collect()[0][0] == n_all
+
+
+def test_cascade_refresh_from_snapshot_diff(spark, tok, tmp_path):
+    """Diff-driven coarser-tier maintenance (r5): after the finer tier takes
+    an incremental merge, cascade_refresh recomputes ONLY the finer months
+    added/changed since the given snapshot version — and the refreshed
+    coarser tier conserves the full row mass, exactly as a from-scratch
+    rebuild would."""
+    s = AggregateStore(spark, str(tmp_path / "store_cr"))
+    with_m = tok.withColumn("_m", F.date_format("ts", "yyyy-MM"))
+    months = sorted(r["_m"] for r in with_m.select("_m").distinct().collect())
+    mid = months[len(months) // 2]
+    batch1 = with_m.filter(
+        (F.col("_m") < mid) | ((F.col("_m") == mid) & (F.col("id") % 2 == 0))
+    ).drop("_m")
+    batch2 = with_m.filter(
+        (F.col("_m") > mid) | ((F.col("_m") == mid) & (F.col("id") % 2 == 1))
+    ).drop("_m")
+
+    s.build_tier("1d", batch1)
+    s.build_tier("1mo", s.read_tier("1d"), from_tier="1d")
+    v_fine = s.current_snapshot("1d")["version"]
+    s.incremental_update("1d", batch2)
+
+    refreshed = s.cascade_refresh("1d", "1mo", since_version=v_fine,
+                                  job_id="cr-1")
+    assert refreshed == [m for m in months if m >= mid]
+    # the refreshed coarser tier conserves the FULL merged mass month-level
+    assert s.verify_cascade("1d", "1mo").filter("NOT ok").count() == 0
+    assert (s.read_tier("1mo").agg(F.sum("n_seq")).collect()[0][0]
+            == tok.count())
+    # untouched early months still resolve to their ORIGINAL build dirs
+    snap = s.current_snapshot("1mo")["partitions"]
+    early = [m for m in months if m < mid]
+    assert early and all("cr-1" not in snap[m] for m in early)
+    assert all("cr-1" in snap[m] for m in refreshed)
+    # committed replay of the same job is a no-op
+    assert s.cascade_refresh("1d", "1mo", since_version=v_fine,
+                             job_id="cr-1") == []
+    # nothing changed since the current finer version: nothing to refresh
+    v_now = s.current_snapshot("1d")["version"]
+    assert s.cascade_refresh("1d", "1mo", since_version=v_now) == []
