@@ -22,10 +22,12 @@ one Arrow batch per chunk, bounded chunk length keeps executor memory flat
 RESTARTS (bounded at ~95 per blob — the Gorilla window only widens) and
 emits whole '10' runs with numpy, assembled by a word-level bit packer;
 the timestamp encoder is fully vectorized (no cross-point state); DECODE
-pairs an inlined fused-control scalar loop with a speculative bulk path
-that extracts strided '10' runs vectorized, verifies controls before
-consuming, and adaptively disables itself below its call-overhead
-break-even. 6-9 Mpt/s encode / 1.3-19 Mpt/s decode (PERF.md) — a native
+pairs an inlined fused-control scalar loop with TWO speculative bulk
+paths — uniform '10' runs (strided vector extraction) and, r5, PERIODIC
+mixed-control patterns (descriptor-ring detection, per-phase verified
+gathers, whole-period XOR scans — covers restart flapping and
+streak-just-under-gate shapes) — both verifying every bit before
+consuming and adaptively disabling below their call-overhead break-even. 6-9 Mpt/s encode / 1.3-19 Mpt/s decode (PERF.md) — a native
 (Scala/C) kernel remains the further upgrade path, interface unchanged.
 Scalar reference encoders are retained and byte-equality is
 hypothesis-tested, so CODEC_VERSION stays 2.
@@ -804,6 +806,113 @@ def _speculative_run_decode(
     return pos, cur, i
 
 
+def _gather_bits64(data: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """For each bit position in ``starts``, the 64 bits beginning there,
+    left-aligned in a uint64 (one 16-byte-window gather, two big-endian
+    lanes — same trick as :func:`_speculative_run_decode`). ``data`` must be
+    padded ≥16 bytes past the last start (the decoder's ``datap`` is)."""
+    sb = starts >> 3
+    sr = (starts & 7).astype(np.uint64)
+    win = np.ascontiguousarray(data[sb[:, None] + _SPEC_OFFSETS])
+    lanes = win.view(">u8").astype(np.uint64)
+    hi = lanes[:, 0] << sr
+    lo = np.where(sr > 0, lanes[:, 1] >> (np.uint64(64) - sr), np.uint64(0))
+    return hi | lo
+
+
+def _detect_period(rec: list) -> list | None:
+    """Smallest period p ≤ 8 such that the WHOLE recorded descriptor window
+    is p-periodic; the returned pattern (the last p descriptors) is phase-
+    aligned so the next field expected on the stream is pattern[0]."""
+    m = len(rec)
+    for p in range(1, 9):
+        if all(rec[j] == rec[j + p] for j in range(m - p)):
+            return rec[-p:]
+    return None
+
+
+def _pattern_speculative_decode(
+    data: np.ndarray, pos: int, cur: int, out: np.ndarray, i: int, n: int,
+    blen: int, pattern: list, lead: int, mlen: int, trail: int,
+):
+    """Decode a PERIODIC control pattern in bulk (r5 adversarial-floor work):
+    the scalar loop observed the last descriptors repeating with period p —
+    e.g. a '11' restart at every point with alternating windows (corpus
+    ``flap``), five in-window fields then a repeat (``under6``), or a
+    6-streak broken by a restart (``gate_flap``): exactly the shapes that
+    defeat the uniform-'10'-run speculation. ASSUME the next K periods
+    repeat the same descriptor sequence, verify every field's fixed bits
+    (control + '11' lead/mlen meta + zero-run bits) with per-phase gathers,
+    keep the longest fully-valid prefix of WHOLE periods, and XOR-scan all
+    payload contributions at once. Sound for any input: a field is only
+    consumed if its control/meta bits verified, and window state at each
+    phase is implied by the verified '11' metas (in-window fields reuse the
+    window set by the same-phase restart of the previous period, which
+    verification pins to the recorded lead/mlen).
+
+    Descriptors: ('z', r) = run of r '0' repeats (r ≤ 48, merged);
+    ('w', mlen, trail) = '10' in-window field; ('r', lead, mlen) = '11'
+    restart. Returns (pos, cur, i, lead, mlen, trail) with the window state
+    after the last consumed period (whole periods only, so it is the last
+    'r' of the pattern, or unchanged if the pattern has none)."""
+    specs = []       # (kind, bit-offset, prefix_bits, prefix_val, mlen, trail)
+    out_idx = []     # output column index of each payload phase
+    S = 0            # bits per period
+    T = 0            # output points per period
+    for d in pattern:
+        if d[0] == "z":
+            r = d[1]
+            specs.append(("z", S, r, 0, 0, 0))
+            T += r
+            S += r
+        elif d[0] == "w":
+            specs.append(("w", S, 2, 0b10, d[1], d[2]))
+            out_idx.append(T)
+            T += 1
+            S += 2 + d[1]
+        else:
+            _lead, _mlen = d[1], d[2]
+            pv = (0b11 << 11) | (_lead << 6) | (_mlen & 0x3F)
+            specs.append(("r", S, 13, pv, _mlen, 64 - _lead - _mlen))
+            out_idx.append(T)
+            T += 1
+            S += 13 + _mlen
+    batch = 32
+    while i + T <= n:
+        k_max = min((n - i) // T, (blen - pos) // S, batch)
+        if k_max <= 0:
+            break
+        base = pos + S * np.arange(k_max, dtype=np.int64)
+        valid = np.ones(k_max, dtype=bool)
+        cols = []
+        for kind, off, pb, pv, pm, pt in specs:
+            f64 = _gather_bits64(data, base + off)
+            valid &= (f64 >> np.uint64(64 - pb)) == pv
+            if kind != "z":
+                p64 = _gather_bits64(data, base + off + pb)
+                cols.append((p64 >> np.uint64(64 - pm)) << np.uint64(pt))
+        k = k_max if valid.all() else int(np.argmax(~valid))
+        if k == 0:
+            break
+        Y = np.zeros((k, T), dtype=np.uint64)
+        for j, c in zip(out_idx, cols):
+            Y[:, j] = c[:k]
+        vals = np.bitwise_xor.accumulate(Y.reshape(-1)) ^ np.uint64(cur)
+        out[i:i + k * T] = vals
+        cur = int(vals[-1])
+        i += k * T
+        pos += S * k
+        if k < k_max:
+            break  # a field diverged from the pattern — scalar takes over
+        batch = min(batch * 8, 2048)
+    for d in reversed(pattern):
+        if d[0] == "r":
+            lead, mlen = d[1], d[2]
+            trail = 64 - lead - mlen
+            break
+    return pos, cur, i, lead, mlen, trail
+
+
 def decode_values(blob: bytes) -> np.ndarray:
     r = _BitReader(blob)
     _check_version(r, "value")
@@ -836,6 +945,18 @@ def decode_values(blob: bytes) -> np.ndarray:
     spec_calls = 0
     spec_consumed = 0
     spec_on = True
+    # Period-pattern speculation (r5): record a ring of recent field
+    # descriptors; when the window is fully periodic, decode whole periods
+    # in bulk. Covers the mixed-control shapes the uniform-'10' path above
+    # cannot: restart flapping, streaks broken just under the gate, runs
+    # punctuated by repeats. Adaptive like spec_on: detection failures and
+    # low-yield calls disable it for the blob, so aperiodic streams pay a
+    # few hundred points of tuple-append overhead, bounded.
+    rec: list = []
+    pat_on = True
+    pat_fail = 0
+    pat_calls = 0
+    pat_consumed = 0
     from_bytes = int.from_bytes
     lead, mlen, trail = 0, 0, 0
     i = 1
@@ -866,6 +987,20 @@ def decode_values(blob: bytes) -> np.ndarray:
             pos += k
             i += k
             streak = 0
+            if pat_on:
+                # merge adjacent repeat runs (one true run can be split by
+                # the 88-bit window); runs too long for 64-bit verification
+                # break any recordable pattern — restart the ring
+                if rec and rec[-1][0] == "z":
+                    r = rec[-1][1] + k
+                    if r > 48:
+                        rec.clear()
+                    else:
+                        rec[-1] = ("z", r)
+                elif k <= 48:
+                    rec.append(("z", k))
+                else:
+                    rec.clear()
             continue
         if pos + 2 > blen:
             raise ValueError(f"truncated blob: need bit {pos + 2}, have {blen}")
@@ -878,8 +1013,12 @@ def decode_values(blob: bytes) -> np.ndarray:
             mlen = (meta & 0x3F) or 64
             trail = 64 - lead - mlen
             fend += mlen
+            if pat_on:
+                rec.append(("r", lead, mlen))
         else:  # '10': reuse the current window
             fend = pos + 2 + mlen
+            if pat_on:
+                rec.append(("w", mlen, trail))
         if fend > blen:
             raise ValueError(f"truncated blob: need bit {fend}, have {blen}")
         x = (w >> (wend - fend)) & ((1 << mlen) - 1)
@@ -890,6 +1029,27 @@ def decode_values(blob: bytes) -> np.ndarray:
         out[i] = cur
         i += 1
         streak += 1
+        if pat_on and len(rec) >= 16:
+            pat = _detect_period(rec)
+            if pat is None:
+                del rec[:8]  # slide: retry after 8 more descriptors
+                pat_fail += 1
+                if pat_fail >= 8:
+                    pat_on = False
+                    rec.clear()
+            else:
+                i0 = i
+                pos, cur, i, lead, mlen, trail = _pattern_speculative_decode(
+                    data_np, pos, cur, out, i, n, blen, pat,
+                    lead, mlen, trail,
+                )
+                rec.clear()
+                streak = 0
+                pat_calls += 1
+                pat_consumed += i - i0
+                if pat_calls >= 4 and pat_consumed < 128 * pat_calls:
+                    pat_on = False
+                continue
         if spec_on and streak >= 6 and i < n:
             i0 = i
             pos, cur, i = _speculative_run_decode(
@@ -898,6 +1058,8 @@ def decode_values(blob: bytes) -> np.ndarray:
             streak = 0  # the bulk path stopped at a non-'10' control
             spec_calls += 1
             spec_consumed += i - i0
+            if i > i0:
+                rec.clear()  # fields the bulk path consumed were never recorded
             if spec_calls >= 8 and spec_consumed < 48 * spec_calls:
                 spec_on = False
     return out.view(np.float64)

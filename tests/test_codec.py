@@ -324,9 +324,34 @@ def _adversarial_value_corpus() -> dict[str, np.ndarray]:
             x ^= 1 << int(rng.integers(52, 63))
         mixed[i] = x
 
-    return {k: bits(v) for k, v in
-            {"flap": flap, "under6": under6, "gate_flap": gate_flap,
-             "mixed": mixed}.items()}
+    # r5 pattern-path shapes (period-speculative decoder targets + traps):
+    # toggle — the REALISTIC flap: a sensor bouncing between two readings
+    # (thermostat/status series), xor alternates between one value and
+    # itself → period-2 pattern.
+    toggle = np.where(np.arange(n) % 2 == 0, 21.5, 21.25)
+    # period-3 with a repeat slot: two in-window changes then a hold
+    p3 = np.empty(n, dtype=np.uint64)
+    x = ONE
+    for i in range(n):
+        if i % 3 != 2:
+            x ^= ((i % 3) + 1) << 8
+        p3[i] = x
+    # pattern break: strictly periodic, then the pattern DIVERGES mid-
+    # stream — the speculative prefix cut must hand back to scalar exactly
+    # at the divergence (then a new period-3 regime re-engages)
+    pbreak = np.empty(n, dtype=np.uint64)
+    x = ONE
+    for i in range(n):
+        if i < n // 2:
+            x ^= (1 << 62) if i % 2 else (0xF << 4)
+        elif i % 3 == 0:
+            x ^= 0x7 << 30
+        pbreak[i] = x
+
+    out = {"flap": flap, "under6": under6, "gate_flap": gate_flap,
+           "mixed": mixed, "p3": p3, "pbreak": pbreak}
+    return {**{k: bits(v) for k, v in out.items()},
+            "toggle": toggle.astype(np.float64)}
 
 
 def test_adversarial_decode_corpus_roundtrips():
@@ -420,3 +445,51 @@ def test_ts_decode_corrupt_header_near_int64_edge_raises():
     )
     with pytest.raises(ValueError, match="out of int64 range"):
         decode_timestamps(blob)
+
+
+def test_pattern_speculative_path_engages_and_is_exact(monkeypatch):
+    """The r5 period-pattern bulk decoder must (a) actually ENGAGE on a
+    periodic mixed-control stream — not just exist — (b) consume the bulk
+    of the points, and (c) hand partial-verification prefixes back to the
+    scalar loop bit-exactly (divergence mid-stream)."""
+    import numpy as np
+
+    import ingestr_spark.compression.gorilla as g
+
+    calls = {"n": 0, "consumed": 0}
+    orig = g._pattern_speculative_decode
+
+    def spy(data, pos, cur, out, i, n, blen, pattern, lead, mlen, trail):
+        r = orig(data, pos, cur, out, i, n, blen, pattern, lead, mlen, trail)
+        calls["n"] += 1
+        calls["consumed"] += r[2] - i
+        return r
+
+    monkeypatch.setattr(g, "_pattern_speculative_decode", spy)
+
+    n = 50_000
+    # window-flapping series: xors alternate between disjoint bit ranges,
+    # so EVERY field is a '11' restart — the uniform-'10' spec path can
+    # never engage, only the period-2 pattern path can go bulk
+    u = np.empty(n, dtype=np.uint64)
+    x = int(np.array(21.5).view(np.uint64))
+    for j in range(n):
+        x ^= (1 << 62) if j % 2 else (0xF << 4)
+        u[j] = x
+    flap = u.view(np.float64)
+    blob = g.encode_values(flap)
+    out = g.decode_values(blob)
+    assert np.array_equal(out.view(np.uint64), flap.view(np.uint64))
+    assert calls["n"] >= 1
+    assert calls["consumed"] > n * 0.9  # the bulk path did the work
+
+    # divergence: periodic half, then aperiodic tail — exactness across the
+    # prefix cut, and the pattern path must have consumed ≥ the periodic part
+    calls["n"] = calls["consumed"] = 0
+    rng = np.random.default_rng(5)
+    tail = np.round(rng.normal(0, 1, n // 2), 3)
+    series = np.concatenate([flap[: n // 2], tail])
+    blob2 = g.encode_values(series)
+    out2 = g.decode_values(blob2)
+    assert np.array_equal(out2.view(np.uint64), series.view(np.uint64))
+    assert calls["consumed"] >= n // 2 - 256
