@@ -626,6 +626,68 @@ def q_codec_roundtrip_1d(spark, sf_dir):
     )
 
 
+def q_store_incremental_scan(spark, sf_dir):
+    """Snapshot time travel + incremental scan, driver-visible (r5): build
+    the 1d tier from a deterministic EARLY half of the token table (-> v1),
+    merge the LATE half incrementally (-> v2), then probe the store two
+    ways — 'v1' = a reader pinned to the pre-merge snapshot (VERSION AS OF),
+    'changes' = read_changes(v1), the months the merge added or re-pointed
+    (Iceberg incremental read at copy-on-write month granularity). The
+    oracle recomputes both probes straight from the token CTE (batch-1-only
+    rollup; full rollup restricted to the added/changed month set), so the
+    snapshot pointer log, the time-travel resolution, the metadata diff,
+    and the merge algebra are all hash-checked. The store itself lives in a
+    throwaway tmp dir; the result is materialized before it is deleted."""
+    import shutil
+    import tempfile
+
+    from ingestr_spark.retention import AggregateStore
+
+    apply_engine_conf(spark)
+    tok = _tok(spark, sf_dir)
+    with_m = tok.withColumn(
+        "_m", F.date_trunc("month", "ts").cast("date")
+    )
+    months = sorted(
+        r["_m"] for r in with_m.select("_m").distinct().collect()
+    )
+    mid = months[len(months) // 2]
+    batch1 = with_m.filter(
+        (F.col("_m") < F.lit(mid))
+        | ((F.col("_m") == F.lit(mid)) & (F.col("id") % 2 == 0))
+    ).drop("_m")
+    batch2 = with_m.filter(
+        (F.col("_m") > F.lit(mid))
+        | ((F.col("_m") == F.lit(mid)) & (F.col("id") % 2 == 1))
+    ).drop("_m")
+
+    root = tempfile.mkdtemp(prefix="ingestr_incr_scan_")
+    try:
+        store = AggregateStore(spark, root)
+        store.build_tier("1d", batch1)        # snapshot v1
+        store.incremental_update("1d", batch2)  # snapshot v2
+
+        def month_sum(df, tag):
+            return df.groupBy(
+                F.date_trunc("month", "bucket").cast("date").alias("p_month")
+            ).agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_seq").alias("sum_n_seq"),
+                F.sum("sum_n_tok").alias("sum_n_tok"),
+            ).select(
+                F.lit(tag).alias("probe"),
+                "p_month", "n_rows", "sum_n_seq", "sum_n_tok",
+            )
+
+        res = month_sum(store.read_tier("1d", version=1), "v1").unionByName(
+            month_sum(store.read_changes("1d", 1), "changes")
+        )
+        rows = res.collect()  # materialize before the store dir vanishes
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing end-to-end: deterministic media table -> binary
     payloads -> mapInPandas fake decode (byte-statistics pseudo-features) ->
@@ -1232,6 +1294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reconstruct_hourly_tier": q_reconstruct_hourly_tier,
         "raster_bilinear": q_raster_bilinear,
         "quantiles_ntok": q_quantiles_ntok,
+        "store_incremental_scan": q_store_incremental_scan,
     }
 
 
@@ -1284,4 +1347,5 @@ def oracle_sql() -> dict[str, str]:
         "reconstruct_hourly_tier": oracles.RECONSTRUCT_HOURLY_TIER,
         "raster_bilinear": oracles.RASTER_BILINEAR_COMPOSITE,
         "quantiles_ntok": oracles.QUANTILES_NTOK_COMPOSITE,
+        "store_incremental_scan": oracles.STORE_INCREMENTAL_SCAN,
     }

@@ -2875,3 +2875,59 @@ SELECT 'raw' AS path, * FROM ({QUANTILES_NTOK})
 UNION ALL
 SELECT 'weighted' AS path, * FROM ({QUANTILES_NTOK_WEIGHTED})
 """
+
+# ---- snapshot time travel + incremental scan (r5) ---------------------------
+# Mirrors __spark_entry__.q_store_incremental_scan's deterministic split:
+# mid = the middle month (0-based index len//2 of the sorted distinct
+# months); batch 1 = months before mid plus EVEN ids inside it. Probe 'v1'
+# = the 1d tier over batch 1 alone (what a reader pinned to snapshot v1
+# must see); probe 'changes' = the FULL 1d tier restricted to the months
+# the incremental merge re-pointed (all later months, plus mid iff it has
+# odd-id rows) — the merge algebra guarantees re-pointed months equal the
+# full recompute, so the oracle never needs the store. DATE month keys,
+# integer accumulator sums (repo exactness rules).
+STORE_INCREMENTAL_SCAN = f"""WITH {TOKENS_CTE},
+tm AS (SELECT *, CAST(date_trunc('month', ts) AS DATE) AS m FROM tok),
+months AS (
+  SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rn, COUNT(*) OVER () AS c
+  FROM (SELECT DISTINCT m FROM tm)
+),
+mid AS (SELECT m FROM months WHERE rn = c // 2 + 1),
+b1 AS (
+  SELECT * FROM tm
+  WHERE m < (SELECT m FROM mid)
+     OR (m = (SELECT m FROM mid) AND id % 2 = 0)
+),
+t1 AS (
+  SELECT source, CAST(date_trunc('day', ts) AS DATE) AS bucket,
+         COUNT(*) AS n_seq, CAST(SUM(n_tok) AS BIGINT) AS sum_n_tok
+  FROM b1 GROUP BY 1, 2
+),
+tfull AS (
+  SELECT source, CAST(date_trunc('day', ts) AS DATE) AS bucket,
+         COUNT(*) AS n_seq, CAST(SUM(n_tok) AS BIGINT) AS sum_n_tok
+  FROM tm GROUP BY 1, 2
+),
+chm AS (
+  SELECT m FROM months WHERE m > (SELECT m FROM mid)
+  UNION ALL
+  SELECT m FROM mid
+  WHERE EXISTS (SELECT 1 FROM tm
+                WHERE tm.m = (SELECT m FROM mid) AND tm.id % 2 = 1)
+)
+SELECT 'v1' AS probe,
+       CAST(date_trunc('month', bucket) AS DATE) AS p_month,
+       COUNT(*) AS n_rows,
+       CAST(SUM(n_seq) AS BIGINT) AS sum_n_seq,
+       CAST(SUM(sum_n_tok) AS BIGINT) AS sum_n_tok
+FROM t1 GROUP BY 2
+UNION ALL
+SELECT 'changes' AS probe,
+       CAST(date_trunc('month', bucket) AS DATE) AS p_month,
+       COUNT(*) AS n_rows,
+       CAST(SUM(n_seq) AS BIGINT) AS sum_n_seq,
+       CAST(SUM(sum_n_tok) AS BIGINT) AS sum_n_tok
+FROM tfull
+WHERE CAST(date_trunc('month', bucket) AS DATE) IN (SELECT m FROM chm)
+GROUP BY 2
+"""
