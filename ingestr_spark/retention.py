@@ -144,6 +144,20 @@ class AggregateStore:
                 out.add(j)
         return out
 
+    def version_of_job(self, tier: str, job_id: str) -> int | None:
+        """Highest RETAINED snapshot version committed by ``job_id`` (None if
+        the job never committed, or its snapshot was expired by gc). Lets a
+        replayed orchestration recover the exact pre/post state of its own
+        earlier commit — e.g. the streaming cascade uses (version - 1) as
+        the diff base so a crash between a finer-tier merge and the coarser
+        refresh is healed instead of silently skipped."""
+        out = None
+        for v in self._snapshot_versions(tier):
+            with open(f"{self.snapshots_path(tier)}/v{v}.json") as fh:
+                if json.load(fh).get("job_id") == job_id:
+                    out = v
+        return out
+
     def _commit_snapshot(
         self, tier: str, updates: dict[str, str | None], job_id: str
     ) -> dict:

@@ -16,7 +16,11 @@ module maps that to Spark's native incremental machinery:
   incremental_update's docstring — so a batch that dies between the
   partition swap and the manifest append reconciles instead of
   double-merging on replay),
-* the 1h→1d→1mo cascade refreshes from the 1h delta inside the same batch.
+* with ``cascade=True`` the 1h→1d→1mo chain refreshes inside the same
+  batch from each finer tier's snapshot DIFF (``cascade_refresh``) — the
+  coarser recompute touches bounded tier rows, never raw, and the diff
+  base is recovered from the snapshot job log so a crash mid-chain heals
+  on replay.
 
 A watermark + window variant (for true event-time lateness handling) is
 :func:`windowed_counts_stream` — used where per-(source, window) counts are
@@ -38,11 +42,25 @@ def refresh_store_availablenow(
     checkpoint: str,
     schema=None,
     tiers: tuple[str, ...] = ("1h",),
+    cascade: bool = False,
 ) -> None:
     """Drain all unprocessed input files into the aggregate store, then stop.
 
     Resume = re-run: the checkpoint remembers which files were consumed, the
     manifest job_id (= batch id) makes replayed batches no-ops.
+
+    ``cascade=False`` (default): every tier merges the RAW batch
+    independently (each re-aggregates the batch rows). ``cascade=True``
+    (r5): only ``tiers[0]`` merges raw; each coarser tier then refreshes
+    via :meth:`AggregateStore.cascade_refresh` from the finer tier's
+    snapshot DIFF — the coarser recompute touches bounded tier rows, never
+    the raw batch, which is the shape that holds at 10^12-sequence scale.
+    Replay safety: the diff base is recovered from the snapshot job log
+    (``version_of_job(finer, <this batch's job id>) - 1``), so a crash
+    BETWEEN the finer merge and a coarser refresh heals on replay — the
+    merge no-ops, but the diff base still predates it, so the missed
+    refresh runs; a fully-applied batch replays as all no-ops via the
+    per-tier job ids.
     """
     if schema is None:
         schema = spark.read.parquet(input_path).schema  # StructType, not DDL
@@ -54,8 +72,23 @@ def refresh_store_availablenow(
     store = AggregateStore(spark, store_root)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        for tier in tiers:
-            store.incremental_update(tier, batch_df, job_id=f"stream-{tier}-{batch_id}")
+        if not cascade:
+            for tier in tiers:
+                store.incremental_update(
+                    tier, batch_df, job_id=f"stream-{tier}-{batch_id}"
+                )
+            return
+        store.incremental_update(
+            tiers[0], batch_df, job_id=f"stream-{tiers[0]}-{batch_id}"
+        )
+        for finer, coarser in zip(tiers, tiers[1:]):
+            base = store.version_of_job(finer, f"stream-{finer}-{batch_id}")
+            if base is None:
+                break  # empty batch: the finer tier never committed
+            store.cascade_refresh(
+                finer, coarser, since_version=base - 1,
+                job_id=f"stream-{coarser}-{batch_id}",
+            )
 
     q = (
         stream.writeStream.foreachBatch(sink)

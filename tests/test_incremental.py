@@ -321,3 +321,63 @@ def test_session_window_stream_matches_batch_sessionize(spark, tmp_path):
         if r["start"] < t + dt.timedelta(hours=7)  # finalized sessions only
     }
     assert got == per and len(got) == 3
+
+
+def test_streaming_cascade_refresh_from_diffs(spark, tmp_path):
+    """cascade=True (r5): only the 1h tier merges the raw batch; 1d and 1mo
+    refresh from the finer tier's snapshot DIFF via cascade_refresh. Two
+    drains must leave every tier equal to a from-scratch rollup, and a full
+    re-drain of the same checkpoint must no-op."""
+    inp = str(tmp_path / "cin")
+    full = synth_tokens(spark, 3000, max_ntok=64)
+    full.filter("id < 1500").write.mode("overwrite").parquet(inp)
+    root = str(tmp_path / "cstore")
+    tiers = ("1h", "1d", "1mo")
+    refresh_store_availablenow(
+        spark, inp, root, str(tmp_path / "cckpt"), tiers=tiers, cascade=True
+    )
+    full.filter("id >= 1500").write.mode("append").parquet(inp)
+    refresh_store_availablenow(
+        spark, inp, root, str(tmp_path / "cckpt"), tiers=tiers, cascade=True
+    )
+    store = AggregateStore(spark, root)
+    for tier in tiers:
+        assert _rows(store.read_tier(tier)) == _rows(
+            rollup_from_raw(full, tier)
+        ), tier
+    # re-drain with nothing new: snapshot versions must not move
+    vers = {t: store.current_snapshot(t)["version"] for t in tiers}
+    refresh_store_availablenow(
+        spark, inp, root, str(tmp_path / "cckpt"), tiers=tiers, cascade=True
+    )
+    assert {t: store.current_snapshot(t)["version"] for t in tiers} == vers
+
+
+def test_streaming_cascade_crash_between_merge_and_refresh_heals(spark, tmp_path):
+    """The cascade sink's replay hole, closed by the snapshot job log: a
+    batch that crashes AFTER the 1h merge commit but BEFORE the 1d refresh
+    must, on replay, no-op the merge yet still run the missed refresh —
+    the diff base (version_of_job - 1) predates the original commit."""
+    full = synth_tokens(spark, 2000, max_ntok=64)
+    b1, b2 = full.filter("id < 1000"), full.filter("id >= 1000")
+    root = str(tmp_path / "chstore")
+    store = AggregateStore(spark, root)
+    # batch 0 fully applied (the cascade sink's exact sequence)
+    store.incremental_update("1h", b1, job_id="stream-1h-0")
+    base0 = store.version_of_job("1h", "stream-1h-0")
+    store.cascade_refresh("1h", "1d", since_version=base0 - 1,
+                          job_id="stream-1d-0")
+    # batch 1 crashes between the 1h merge and the 1d refresh
+    store.incremental_update("1h", b2, job_id="stream-1h-1")
+    # replay after restart: merge no-ops, refresh still runs
+    assert store.incremental_update("1h", b2, job_id="stream-1h-1") == []
+    base1 = store.version_of_job("1h", "stream-1h-1")
+    assert base1 is not None and base1 > base0
+    refreshed = store.cascade_refresh("1h", "1d", since_version=base1 - 1,
+                                      job_id="stream-1d-1")
+    assert refreshed  # the missed refresh happened
+    assert _rows(store.read_tier("1d")) == _rows(rollup_from_raw(full, "1d"))
+    # second replay: everything no-ops, state already consistent
+    assert store.cascade_refresh("1h", "1d", since_version=base1 - 1,
+                                 job_id="stream-1d-1") == []
+    assert _rows(store.read_tier("1d")) == _rows(rollup_from_raw(full, "1d"))
