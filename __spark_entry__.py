@@ -688,6 +688,77 @@ def q_store_incremental_scan(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_streaming_windows(spark, sf_dir):
+    """Structured Streaming under the driver hash gate (r5): REAL streaming
+    execution — file-source readStream over events.parquet, event-time
+    window aggregation, AvailableNow trigger, complete-mode memory sink —
+    for both a tumbling 1h window and a sliding 1h/30min window (each its
+    own streaming query: Spark allows one stateful aggregation per query).
+    The oracle recomputes both from plain batch SQL (an event at t belongs
+    to sliding windows starting floor30(t) and floor30(t)-30min), so the
+    micro-batch pipeline must agree with the declarative semantics exactly.
+    Integer accumulators only (counts, id sums) and epoch-seconds window
+    keys — repo oracle-exactness rules. Checkpoints are throwaway tmp dirs;
+    results are materialized before cleanup. Complete-mode + memory sink is
+    the right shape for this bounded parity probe ONLY — the production
+    path at scale is append mode + watermark (windowed_counts_stream),
+    where the state store stays bounded by window finalization."""
+    import shutil
+    import tempfile
+    import uuid
+
+    apply_engine_conf(spark)
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    tmp = tempfile.mkdtemp(prefix="ingestr_stream_ckpt_")
+    # the file stream source requires a DIRECTORY; the testdata table is a
+    # single parquet file — expose it through a symlink dir (zero copy)
+    src_dir = f"{tmp}/events_src"
+    os.makedirs(src_dir)
+    os.symlink(os.path.realpath(path), f"{src_dir}/events.parquet")
+    try:
+        frames = []
+        for probe, win_args in (
+            ("tumbling", ("1 hour",)),
+            ("sliding", ("1 hour", "30 minutes")),
+        ):
+            stream = spark.readStream.schema(schema).parquet(src_dir)
+            agg = (
+                stream.groupBy(
+                    F.window("ts", *win_args).alias("win"), "event_type"
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.sum("user_id").alias("sum_user_id"),
+                    F.min("event_id").alias("min_event_id"),
+                    F.max("event_id").alias("max_event_id"),
+                )
+                .select(
+                    F.lit(probe).alias("probe"),
+                    # NTZ → (UTC session) timestamp → epoch seconds
+                    F.col("win.start").cast("timestamp").cast("long")
+                    .alias("win_epoch"),
+                    "event_type", "n_events", "sum_user_id",
+                    "min_event_id", "max_event_id",
+                )
+            )
+            name = f"stream_win_{uuid.uuid4().hex[:8]}"
+            q = (
+                agg.writeStream.format("memory").queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", f"{tmp}/{probe}")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            t = spark.table(name)
+            frames.append(spark.createDataFrame(t.collect(), t.schema))
+            spark.catalog.dropTempView(name)
+        return frames[0].unionByName(frames[1])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing end-to-end: deterministic media table -> binary
     payloads -> mapInPandas fake decode (byte-statistics pseudo-features) ->
@@ -1295,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_bilinear": q_raster_bilinear,
         "quantiles_ntok": q_quantiles_ntok,
         "store_incremental_scan": q_store_incremental_scan,
+        "streaming_windows": q_streaming_windows,
     }
 
 
@@ -1348,4 +1420,5 @@ def oracle_sql() -> dict[str, str]:
         "raster_bilinear": oracles.RASTER_BILINEAR_COMPOSITE,
         "quantiles_ntok": oracles.QUANTILES_NTOK_COMPOSITE,
         "store_incremental_scan": oracles.STORE_INCREMENTAL_SCAN,
+        "streaming_windows": oracles.STREAMING_WINDOWS,
     }

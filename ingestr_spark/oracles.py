@@ -2931,3 +2931,39 @@ FROM tfull
 WHERE CAST(date_trunc('month', bucket) AS DATE) IN (SELECT m FROM chm)
 GROUP BY 2
 """
+
+# ---- Structured Streaming parity (r5) ---------------------------------------
+# Batch mirror of __spark_entry__.q_streaming_windows: the streaming
+# tumbling/sliding event-time window aggregates over `events`, recomputed
+# declaratively. Sliding semantics: an event at t belongs to every window
+# start s with s <= t < s + 1h and s on a 30-min boundary — i.e. floor30(t)
+# and floor30(t) - 30min. Integer accumulators, epoch window keys.
+STREAMING_WINDOWS = """WITH f30 AS (
+  SELECT *,
+         date_trunc('hour', ts)
+           + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                  ELSE INTERVAL 0 MINUTE END AS w0
+  FROM events
+)
+SELECT 'tumbling' AS probe,
+       CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_epoch,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(user_id) AS BIGINT) AS sum_user_id,
+       MIN(event_id) AS min_event_id,
+       MAX(event_id) AS max_event_id
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'sliding' AS probe,
+       CAST(epoch(win_start) AS BIGINT) AS win_epoch,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(user_id) AS BIGINT) AS sum_user_id,
+       MIN(event_id) AS min_event_id,
+       MAX(event_id) AS max_event_id
+FROM (
+  SELECT w0 AS win_start, * FROM f30
+  UNION ALL
+  SELECT w0 - INTERVAL 30 MINUTE AS win_start, * FROM f30
+) GROUP BY 2, 3
+"""
