@@ -11,7 +11,10 @@ Run (cluster or local; verified end-to-end against a local[4] master —
 
 Resumable: re-running skips month-partitions already in the store manifest
 (kill it anywhere; completed work is never redone). Lineage + metrics land in
-the manifest tables (see retention.AggregateStore).
+the manifest tables (see retention.AggregateStore). With ``--stream`` the
+store is maintained by Structured Streaming instead (AvailableNow drain of
+unseen input files + diff-driven 1h->1d->1mo cascade; the streaming
+checkpoint makes re-running the resume).
 """
 
 from __future__ import annotations
@@ -47,6 +50,14 @@ def main(argv: list[str] | None = None) -> int:
                         "remove_orphan_files older_than, default 3 days; "
                         "must exceed any writer's write-to-commit gap; 0 "
                         "only when no writer can be live")
+    p.add_argument("--stream", action="store_true",
+                   help="maintain the store with Structured Streaming "
+                        "(file-source readStream + AvailableNow) instead of "
+                        "a batch rebuild: drains only UNSEEN input files "
+                        "(checkpoint at <store>/_stream_checkpoint), merges "
+                        "them into the first tier, and refreshes coarser "
+                        "tiers from finer-tier snapshot diffs "
+                        "(cascade_refresh) — re-running is the resume")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -56,7 +67,20 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.time()
     raw = spark.read.parquet(args.input)
-    built = store.build_all(raw, tiers)
+    if args.stream:
+        from ingestr_spark.streaming.jobs import refresh_store_availablenow
+
+        before = {t: store.current_snapshot(t)["version"] for t in tiers}
+        refresh_store_availablenow(
+            spark, args.input, args.store,
+            f"{args.store}/_stream_checkpoint",
+            tiers=tuple(tiers), cascade=True,
+        )
+        built = {
+            t: store.current_snapshot(t)["version"] - before[t] for t in tiers
+        }  # snapshot commits this drain (0 = nothing new)
+    else:
+        built = store.build_all(raw, tiers)
 
     codec_ok: dict[str, bool] = {}
     if args.compress:

@@ -88,3 +88,39 @@ def test_spark_submit_pyfiles_multi_executor(spark, tok, tmp_path):
     assert dropped, res2  # the fixture spans 2022 months, so some must drop
     assert all(m < "2023-01" for m in dropped)
     assert res2["gc_removed_dirs"]["1h"] >= len(dropped)
+
+
+def test_spark_submit_streaming_cascade(spark, tok, tmp_path):
+    """--stream (r5): the same spark-submit multi-executor topology, but the
+    store is maintained by Structured Streaming (AvailableNow) with the
+    diff-driven cascade. Second submit with NEW input files drains only the
+    unseen ones (checkpoint resume) and the merged store equals the full
+    rollup mass at every tier."""
+    from pyspark.sql import functions as F
+
+    from ingestr_spark.retention import AggregateStore
+
+    tok_path = str(tmp_path / "stok")
+    half1 = tok.filter("id % 2 = 0")
+    half2 = tok.filter("id % 2 = 1")
+    half1.write.parquet(tok_path)
+    zpath = _zip_engine(str(tmp_path))
+    store_root = str(tmp_path / "sstore")
+
+    res = _submit(zpath, tok_path, store_root, "--stream")
+    assert all(n >= 1 for n in res["built_partitions"].values()), res
+    assert res["codec_roundtrip_ok"] == {"1h": True, "1d": True, "1mo": True}
+    store = AggregateStore(spark, store_root)
+    n1 = store.read_tier("1h").agg(F.sum("n_seq")).collect()[0][0]
+    assert n1 == half1.count()
+
+    # new files arrive; a fresh driver drains ONLY them and cascades
+    half2.write.mode("append").parquet(tok_path)
+    res2 = _submit(zpath, tok_path, store_root, "--stream")
+    assert all(n >= 1 for n in res2["built_partitions"].values()), res2
+    for tier in ("1h", "1d", "1mo"):
+        assert (
+            store.read_tier(tier).agg(F.sum("n_seq")).collect()[0][0]
+            == tok.count()
+        ), tier
+    assert store.verify_cascade("1h", "1d").filter("NOT ok").count() == 0
