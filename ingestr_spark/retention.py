@@ -24,6 +24,10 @@ mutation anywhere on the read or commit path:
 * **Retention drops are metadata-only**: a new snapshot without the expired
   months. The files become unreferenced and are collected later — Iceberg's
   ``DELETE WHERE`` + expire-snapshots split.
+* **Compaction is a metadata re-point too (r5).** :meth:`compact` rewrites
+  a month's accumulated per-batch small files into one coalesced immutable
+  dir (Iceberg's ``rewrite_data_files``) and publishes it with the same
+  single-snapshot commit; the old dirs simply become unreferenced.
 * **Time travel + incremental scan come free (r5).** Any snapshot inside
   :meth:`gc`'s ``keep_snapshots`` window is fully readable
   (``read_tier(version=N)`` — Iceberg's ``VERSION AS OF``), two snapshots
@@ -543,6 +547,46 @@ class AggregateStore:
              "completed_at": now}
             for r in stats
         ])
+
+    def compact(
+        self,
+        tier: str,
+        months: list[str] | None = None,
+        target_files: int = 1,
+        job_id: str | None = None,
+    ) -> list[str]:
+        """Rewrite month-partitions into ``target_files`` coalesced files
+        each (Iceberg's ``rewrite_data_files``): streaming/incremental
+        merges leave one small parquet set per batch, and at scale the read
+        amplification of thousands of tiny files dominates scan cost. The
+        rewrite follows the store's one commit discipline — rows are read
+        through the current snapshot, written to a NEW immutable job dir,
+        and published by a single snapshot re-point; the superseded dirs
+        become unreferenced and are collected by :meth:`gc`. Value-neutral
+        by construction (same rows, new layout). Returns compacted months."""
+        job_id = job_id or f"compact-{uuid.uuid4().hex[:8]}"
+        if job_id in self.committed_job_ids(tier):
+            return []
+        current = self.current_snapshot(tier)["partitions"]
+        todo = sorted(current if months is None else
+                      [m for m in months if m in current])
+        if not todo:
+            return []
+        df = self.read_tier(tier, months=todo).withColumn(
+            "p_month", F.date_format("bucket", "yyyy-MM")
+        )
+        data_dir = self.data_path(tier, job_id)
+        # hash-partition so each month's rows land in one task (one output
+        # file per month-dir); target_files > 1 spreads by source too
+        keys = ["p_month"] if target_files == 1 else ["p_month", "source"]
+        (
+            df.repartition(max(1, target_files * len(todo)), *keys)
+            .write.mode("overwrite").partitionBy("p_month").parquet(data_dir)
+        )
+        self._commit_snapshot(
+            tier, {m: f"{data_dir}/p_month={m}" for m in todo}, job_id
+        )
+        return todo
 
     # ---- verification + retention ----------------------------------------
     def verify_cascade(self, finer: str, coarser: str) -> DataFrame:

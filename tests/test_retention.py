@@ -409,3 +409,51 @@ def test_cascade_refresh_from_snapshot_diff(spark, tok, tmp_path):
     # nothing changed since the current finer version: nothing to refresh
     v_now = s.current_snapshot("1d")["version"]
     assert s.cascade_refresh("1d", "1mo", since_version=v_now) == []
+
+
+def test_compact_rewrites_small_files_value_neutral(spark, tok, tmp_path):
+    """compact() (r5, Iceberg rewrite_data_files): after several incremental
+    merges a hot month accumulates one parquet set per batch; compaction
+    must rewrite it to one file per month-dir through a single snapshot
+    re-point, leave every value identical, strand the superseded dirs for
+    gc, and no-op on job replay."""
+    import glob
+
+    s = AggregateStore(spark, str(tmp_path / "store_cp"))
+    parts = [tok.filter(f"id % 3 = {k}") for k in range(3)]
+    s.build_tier("1d", parts[0])
+    s.incremental_update("1d", parts[1])
+    s.incremental_update("1d", parts[2])
+    before = sorted(
+        tuple(r) for r in s.read_tier("1d")
+        .select("source", "bucket", "n_seq", "sum_n_tok").collect()
+    )
+
+    def files_of(month, snap):
+        d = s._resolve(snap["partitions"][month])
+        return glob.glob(f"{d}/*.parquet")
+
+    snap0 = s.current_snapshot("1d")
+    months = sorted(snap0["partitions"])
+    # merged months carry multiple row-groups/files across job dirs; at
+    # minimum the rewrite must leave exactly one file per month-dir
+    compacted = s.compact("1d", job_id="cp-1")
+    assert compacted == months
+    snap1 = s.current_snapshot("1d")
+    assert snap1["version"] == snap0["version"] + 1
+    for m in months:
+        assert len(files_of(m, snap1)) == 1, m
+    after = sorted(
+        tuple(r) for r in s.read_tier("1d")
+        .select("source", "bucket", "n_seq", "sum_n_tok").collect()
+    )
+    assert after == before  # value-neutral rewrite
+    # replay of the same compaction job is a no-op
+    assert s.compact("1d", job_id="cp-1") == []
+    # superseded dirs are unreferenced now; gc collects them, reads survive
+    removed = s.gc("1d", min_age_seconds=0)
+    assert removed  # the old job dirs went away
+    assert sorted(
+        tuple(r) for r in s.read_tier("1d")
+        .select("source", "bucket", "n_seq", "sum_n_tok").collect()
+    ) == before
