@@ -50,6 +50,11 @@ def main(argv: list[str] | None = None) -> int:
                         "remove_orphan_files older_than, default 3 days; "
                         "must exceed any writer's write-to-commit gap; 0 "
                         "only when no writer can be live")
+    p.add_argument("--compact", action="store_true",
+                   help="after building, rewrite each tier's month-"
+                        "partitions into one coalesced file per month "
+                        "(Iceberg rewrite_data_files; counters the "
+                        "per-batch small files streaming merges leave)")
     p.add_argument("--stream", action="store_true",
                    help="maintain the store with Structured Streaming "
                         "(file-source readStream + AvailableNow) instead of "
@@ -105,6 +110,11 @@ def main(argv: list[str] | None = None) -> int:
                 extra = back.join(orig, ["source", "bucket", "avg_n_tok"], "left_anti")
                 codec_ok[t] = missing.count() == 0 and extra.count() == 0
 
+    compacted: dict[str, int] = {}
+    if args.compact:
+        for t in tiers:
+            compacted[t] = len(store.compact(t))
+
     dropped = []
     if args.retain_before and len(tiers) >= 2:
         dropped = store.apply_retention(tiers[0], tiers[1], args.retain_before)
@@ -119,6 +129,8 @@ def main(argv: list[str] | None = None) -> int:
         "dropped_partitions": {tiers[0]: dropped} if dropped else {},
         "wall_sec": round(time.time() - t0, 2),
     }
+    if compacted:
+        report["compacted_partitions"] = compacted
     if gc_removed:
         report["gc_removed_dirs"] = gc_removed
     if codec_ok:

@@ -493,3 +493,50 @@ def test_pattern_speculative_path_engages_and_is_exact(monkeypatch):
     out2 = g.decode_values(blob2)
     assert np.array_equal(out2.view(np.uint64), series.view(np.uint64))
     assert calls["consumed"] >= n // 2 - 256
+
+
+def test_pattern_decoder_periodic_property():
+    """Hypothesis sweep of the period-pattern decoder's input space: random
+    periodic xor-control structures (period 1-8, window restarts / in-window
+    changes / repeats mixed), random payloads, optional mid-stream
+    divergence and aperiodic tails — every series must round-trip
+    bit-exactly whichever decode path engages."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import numpy as np
+
+    from ingestr_spark.compression.gorilla import decode_values, encode_values
+
+    @st.composite
+    def periodic_series(draw):
+        rng = np.random.default_rng(draw(st.integers(0, 2**32 - 1)))
+        p = draw(st.integers(1, 8))
+        # one step template per phase: (kind, payload-range shift)
+        kinds = [draw(st.sampled_from(["restart", "window", "repeat"]))
+                 for _ in range(p)]
+        shifts = [int(rng.integers(0, 50)) for _ in range(p)]
+        n = draw(st.integers(80, 600))
+        u = np.empty(n, dtype=np.uint64)
+        x = 0x3FF0000000000000
+        for i in range(n):
+            k = kinds[i % p]
+            if k == "restart":
+                # force a window change: flip one high bit + low nibble
+                x ^= (1 << (55 + (i % p) % 8)) | (0xF << shifts[i % p])
+            elif k == "window":
+                x ^= int(rng.integers(1, 16)) << shifts[i % p]
+            u[i] = x  # 'repeat' leaves x unchanged
+        series = u.view(np.float64).copy()
+        if draw(st.booleans()):  # diverge into an aperiodic tail
+            cut = draw(st.integers(16, max(17, n - 1)))
+            tail = rng.normal(0, 1, n - cut)
+            series[cut:] = tail
+        return series
+
+    @settings(max_examples=150, deadline=None)
+    @given(periodic_series())
+    def check(vs):
+        out = decode_values(encode_values(vs))
+        assert np.array_equal(out.view(np.uint64), vs.view(np.uint64))
+
+    check()

@@ -114,10 +114,17 @@ def test_spark_submit_streaming_cascade(spark, tok, tmp_path):
     n1 = store.read_tier("1h").agg(F.sum("n_seq")).collect()[0][0]
     assert n1 == half1.count()
 
-    # new files arrive; a fresh driver drains ONLY them and cascades
+    # new files arrive; a fresh driver drains ONLY them, cascades, and
+    # compacts the merged months' per-batch small files (--compact)
     half2.write.mode("append").parquet(tok_path)
-    res2 = _submit(zpath, tok_path, store_root, "--stream")
+    res2 = _submit(zpath, tok_path, store_root, "--stream", "--compact")
     assert all(n >= 1 for n in res2["built_partitions"].values()), res2
+    assert all(n >= 1 for n in res2["compacted_partitions"].values()), res2
+    import glob
+
+    snap = store.current_snapshot("1h")
+    for m, d in snap["partitions"].items():
+        assert len(glob.glob(f"{store._resolve(d)}/*.parquet")) == 1, m
     for tier in ("1h", "1d", "1mo"):
         assert (
             store.read_tier(tier).agg(F.sum("n_seq")).collect()[0][0]
