@@ -629,15 +629,22 @@ def q_codec_roundtrip_1d(spark, sf_dir):
 def q_store_incremental_scan(spark, sf_dir):
     """Snapshot time travel + incremental scan, driver-visible (r5): build
     the 1d tier from a deterministic EARLY half of the token table (-> v1),
-    merge the LATE half incrementally (-> v2), then probe the store two
-    ways — 'v1' = a reader pinned to the pre-merge snapshot (VERSION AS OF),
-    'changes' = read_changes(v1), the months the merge added or re-pointed
-    (Iceberg incremental read at copy-on-write month granularity). The
-    oracle recomputes both probes straight from the token CTE (batch-1-only
-    rollup; full rollup restricted to the added/changed month set), so the
-    snapshot pointer log, the time-travel resolution, the metadata diff,
-    and the merge algebra are all hash-checked. The store itself lives in a
-    throwaway tmp dir; the result is materialized before it is deleted."""
+    merge the LATE half incrementally (-> v2), compact every month-partition
+    to one file (-> v3, Iceberg rewrite_data_files), then probe the store
+    three ways — 'v1' = a reader pinned to the pre-merge snapshot (VERSION
+    AS OF, which must survive both later commits), 'changes' =
+    read_changes(v1, to_version=v2), the months the merge added or
+    re-pointed (Iceberg incremental read at copy-on-write month
+    granularity; pinned BEFORE the compaction commit, which re-points
+    everything value-neutrally), 'compacted' = the full tier read through
+    the post-rewrite snapshot. The oracle recomputes all three straight
+    from the token CTE (batch-1-only rollup; full rollup restricted to the
+    added/changed month set; full rollup), so the snapshot pointer log, the
+    time-travel resolution, the metadata diff, the merge algebra, AND the
+    compaction rewrite's value-neutrality are all hash-checked. The store
+    itself lives in a throwaway tmp dir; the result is materialized before
+    it is deleted."""
+    import glob
     import shutil
     import tempfile
 
@@ -666,6 +673,14 @@ def q_store_incremental_scan(spark, sf_dir):
         store = AggregateStore(spark, root)
         store.build_tier("1d", batch1)        # snapshot v1
         store.incremental_update("1d", batch2)  # snapshot v2
+        done = store.compact("1d")            # snapshot v3: 1 file/month
+        snap = store.current_snapshot("1d")
+        if sorted(snap["partitions"]) != done:
+            raise RuntimeError(f"compact missed months: {done}")
+        for m, d in snap["partitions"].items():
+            n = len(glob.glob(f"{store._resolve(d)}/*.parquet"))
+            if n != 1:
+                raise RuntimeError(f"month {m}: {n} files after compact")
 
         def month_sum(df, tag):
             return df.groupBy(
@@ -679,8 +694,12 @@ def q_store_incremental_scan(spark, sf_dir):
                 "p_month", "n_rows", "sum_n_seq", "sum_n_tok",
             )
 
-        res = month_sum(store.read_tier("1d", version=1), "v1").unionByName(
-            month_sum(store.read_changes("1d", 1), "changes")
+        res = (
+            month_sum(store.read_tier("1d", version=1), "v1")
+            .unionByName(
+                month_sum(store.read_changes("1d", 1, to_version=2),
+                          "changes"))
+            .unionByName(month_sum(store.read_tier("1d"), "compacted"))
         )
         rows = res.collect()  # materialize before the store dir vanishes
         return spark.createDataFrame(rows, res.schema)

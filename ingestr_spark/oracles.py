@@ -2884,8 +2884,12 @@ SELECT 'weighted' AS path, * FROM ({QUANTILES_NTOK_WEIGHTED})
 # must see); probe 'changes' = the FULL 1d tier restricted to the months
 # the incremental merge re-pointed (all later months, plus mid iff it has
 # odd-id rows) — the merge algebra guarantees re-pointed months equal the
-# full recompute, so the oracle never needs the store. DATE month keys,
-# integer accumulator sums (repo exactness rules).
+# full recompute, so the oracle never needs the store. Probe 'compacted'
+# (r5) = the full 1d tier over ALL months — the Spark side reads it through
+# the post-rewrite_data_files snapshot (every month re-pointed at a single
+# coalesced file), so a compaction that dropped/duplicated/reordered any
+# row hash-mismatches here. DATE month keys, integer accumulator sums
+# (repo exactness rules).
 STORE_INCREMENTAL_SCAN = f"""WITH {TOKENS_CTE},
 tm AS (SELECT *, CAST(date_trunc('month', ts) AS DATE) AS m FROM tok),
 months AS (
@@ -2930,6 +2934,13 @@ SELECT 'changes' AS probe,
 FROM tfull
 WHERE CAST(date_trunc('month', bucket) AS DATE) IN (SELECT m FROM chm)
 GROUP BY 2
+UNION ALL
+SELECT 'compacted' AS probe,
+       CAST(date_trunc('month', bucket) AS DATE) AS p_month,
+       COUNT(*) AS n_rows,
+       CAST(SUM(n_seq) AS BIGINT) AS sum_n_seq,
+       CAST(SUM(sum_n_tok) AS BIGINT) AS sum_n_tok
+FROM tfull GROUP BY 2
 """
 
 # ---- Structured Streaming parity (r5) ---------------------------------------
