@@ -457,3 +457,15 @@ def test_compact_rewrites_small_files_value_neutral(spark, tok, tmp_path):
         tuple(r) for r in s.read_tier("1d")
         .select("source", "bucket", "n_seq", "sum_n_tok").collect()
     ) == before
+    # target_files>1 spreads each month by source; per month-dir that is
+    # at most one file per (task holding one of its source groups), and the
+    # rewrite must stay value-neutral
+    assert s.compact("1d", target_files=2, job_id="cp-2") == months
+    snap2 = s.current_snapshot("1d")
+    n_src = s.read_tier("1d").select("source").distinct().count()
+    for m in months:
+        assert 1 <= len(files_of(m, snap2)) <= n_src, m
+    assert sorted(
+        tuple(r) for r in s.read_tier("1d")
+        .select("source", "bucket", "n_seq", "sum_n_tok").collect()
+    ) == before
