@@ -676,7 +676,10 @@ def q_store_incremental_scan(spark, sf_dir):
         done = store.compact("1d")            # snapshot v3: 1 file/month
         snap = store.current_snapshot("1d")
         if sorted(snap["partitions"]) != done:
-            raise RuntimeError(f"compact missed months: {done}")
+            raise RuntimeError(
+                f"compact returned {done} but snapshot holds "
+                f"{sorted(snap['partitions'])}"
+            )
         for m, d in snap["partitions"].items():
             n = len(glob.glob(f"{store._resolve(d)}/*.parquet"))
             if n != 1:

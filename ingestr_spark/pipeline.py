@@ -51,10 +51,17 @@ def main(argv: list[str] | None = None) -> int:
                         "must exceed any writer's write-to-commit gap; 0 "
                         "only when no writer can be live")
     p.add_argument("--compact", action="store_true",
-                   help="after building, rewrite each tier's month-"
-                        "partitions into one coalesced file per month "
-                        "(Iceberg rewrite_data_files; counters the "
-                        "per-batch small files streaming merges leave)")
+                   help="after building (and any retention drop), rewrite "
+                        "the month-partitions THIS RUN added or re-pointed "
+                        "into one coalesced file per month (Iceberg "
+                        "rewrite_data_files; counters the per-batch small "
+                        "files streaming merges leave). Incremental: a "
+                        "maintenance run costs O(batch months), never "
+                        "O(store)")
+    p.add_argument("--compact-all", action="store_true",
+                   help="like --compact but rewrite EVERY month of every "
+                        "tier — one-off defragmentation of a store built "
+                        "before compaction existed")
     p.add_argument("--stream", action="store_true",
                    help="maintain the store with Structured Streaming "
                         "(file-source readStream + AvailableNow) instead of "
@@ -72,17 +79,18 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.time()
     raw = spark.read.parquet(args.input)
+    pre_versions = {t: store.current_snapshot(t)["version"] for t in tiers}
     if args.stream:
         from ingestr_spark.streaming.jobs import refresh_store_availablenow
 
-        before = {t: store.current_snapshot(t)["version"] for t in tiers}
         refresh_store_availablenow(
             spark, args.input, args.store,
             f"{args.store}/_stream_checkpoint",
             tiers=tuple(tiers), cascade=True,
         )
         built = {
-            t: store.current_snapshot(t)["version"] - before[t] for t in tiers
+            t: store.current_snapshot(t)["version"] - pre_versions[t]
+            for t in tiers
         }  # snapshot commits this drain (0 = nothing new)
     else:
         built = store.build_all(raw, tiers)
@@ -110,14 +118,25 @@ def main(argv: list[str] | None = None) -> int:
                 extra = back.join(orig, ["source", "bucket", "avg_n_tok"], "left_anti")
                 codec_ok[t] = missing.count() == 0 and extra.count() == 0
 
-    compacted: dict[str, int] = {}
-    if args.compact:
-        for t in tiers:
-            compacted[t] = len(store.compact(t))
-
     dropped = []
     if args.retain_before and len(tiers) >= 2:
         dropped = store.apply_retention(tiers[0], tiers[1], args.retain_before)
+
+    # compaction runs AFTER the retention drop (never rewrites months about
+    # to be discarded) and, unless --compact-all, touches only the months
+    # this run's build added or re-pointed — O(batch), not O(store)
+    compacted: dict[str, int] = {}
+    if args.compact or args.compact_all:
+        for t in tiers:
+            if args.compact_all:
+                months = None
+            else:
+                d = store.snapshot_diff(t, pre_versions[t])
+                months = sorted(set(d["added"]) | set(d["changed"]))
+                if not months:
+                    compacted[t] = 0
+                    continue
+            compacted[t] = len(store.compact(t, months=months))
 
     gc_removed: dict[str, int] = {}
     if args.gc:

@@ -522,7 +522,7 @@ def test_pattern_decoder_periodic_property():
             k = kinds[i % p]
             if k == "restart":
                 # force a window change: flip one high bit + low nibble
-                x ^= (1 << (55 + (i % p) % 8)) | (0xF << shifts[i % p])
+                x ^= (1 << (55 + i % p)) | (0xF << shifts[i % p])
             elif k == "window":
                 x ^= int(rng.integers(1, 16)) << shifts[i % p]
             u[i] = x  # 'repeat' leaves x unchanged

@@ -465,6 +465,9 @@ def test_compact_rewrites_small_files_value_neutral(spark, tok, tmp_path):
     n_src = s.read_tier("1d").select("source").distinct().count()
     for m in months:
         assert 1 <= len(files_of(m, snap2)) <= n_src, m
+    # the spread must actually happen: if target_files>1 regressed to the
+    # one-file-per-month path, every month would have exactly 1 file
+    assert sum(len(files_of(m, snap2)) for m in months) > len(months)
     assert sorted(
         tuple(r) for r in s.read_tier("1d")
         .select("source", "bucket", "n_seq", "sum_n_tok").collect()
