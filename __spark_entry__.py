@@ -631,19 +631,23 @@ def q_store_incremental_scan(spark, sf_dir):
     the 1d tier from a deterministic EARLY half of the token table (-> v1),
     merge the LATE half incrementally (-> v2), compact every month-partition
     to one file (-> v3, Iceberg rewrite_data_files), then probe the store
-    three ways — 'v1' = a reader pinned to the pre-merge snapshot (VERSION
+    four ways — 'v1' = a reader pinned to the pre-merge snapshot (VERSION
     AS OF, which must survive both later commits), 'changes' =
     read_changes(v1, to_version=v2), the months the merge added or
     re-pointed (Iceberg incremental read at copy-on-write month
     granularity; pinned BEFORE the compaction commit, which re-points
     everything value-neutrally), 'compacted' = the full tier read through
-    the post-rewrite snapshot. The oracle recomputes all three straight
-    from the token CTE (batch-1-only rollup; full rollup restricted to the
-    added/changed month set; full rollup), so the snapshot pointer log, the
-    time-travel resolution, the metadata diff, the merge algebra, AND the
-    compaction rewrite's value-neutrality are all hash-checked. The store
-    itself lives in a throwaway tmp dir; the result is materialized before
-    it is deleted."""
+    the post-rewrite snapshot, and 'manifest' = the per-partition LINEAGE
+    table itself (month-level n_rows / sum_n_seq summed over the build and
+    merge job entries — the metrics surface the north rule mandates,
+    recomputable because each job logs its months' post-state). The oracle
+    recomputes all four straight from the token CTE (batch-1-only rollup;
+    full rollup restricted to the added/changed month set; full rollup;
+    batch-1 month stats + changed-month full stats), so the snapshot
+    pointer log, the time-travel resolution, the metadata diff, the merge
+    algebra, the compaction rewrite's value-neutrality, AND the lineage
+    manifest are all hash-checked. The store itself lives in a throwaway
+    tmp dir; the result is materialized before it is deleted."""
     import glob
     import shutil
     import tempfile
@@ -697,12 +701,26 @@ def q_store_incremental_scan(spark, sf_dir):
                 "p_month", "n_rows", "sum_n_seq", "sum_n_tok",
             )
 
+        man = (
+            store.read_manifest("1d")
+            .groupBy(
+                F.to_date(F.concat_ws("-", "p_month", F.lit("01")))
+                .alias("p_month")
+            )
+            .agg(
+                F.sum("n_rows").alias("n_rows"),
+                F.sum("sum_n_seq").alias("sum_n_seq"),
+            )
+            .select(F.lit("manifest").alias("probe"),
+                    "p_month", "n_rows", "sum_n_seq")
+        )
         res = (
             month_sum(store.read_tier("1d", version=1), "v1")
             .unionByName(
                 month_sum(store.read_changes("1d", 1, to_version=2),
                           "changes"))
             .unionByName(month_sum(store.read_tier("1d"), "compacted"))
+            .unionByName(man, allowMissingColumns=True)
         )
         rows = res.collect()  # materialize before the store dir vanishes
         return spark.createDataFrame(rows, res.schema)

@@ -2941,6 +2941,22 @@ SELECT 'compacted' AS probe,
        CAST(SUM(n_seq) AS BIGINT) AS sum_n_seq,
        CAST(SUM(sum_n_tok) AS BIGINT) AS sum_n_tok
 FROM tfull GROUP BY 2
+UNION ALL
+SELECT 'manifest' AS probe, p_month,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       CAST(SUM(sum_n_seq) AS BIGINT) AS sum_n_seq,
+       CAST(NULL AS BIGINT) AS sum_n_tok
+FROM (
+  SELECT CAST(date_trunc('month', bucket) AS DATE) AS p_month,
+         COUNT(*) AS n_rows, CAST(SUM(n_seq) AS BIGINT) AS sum_n_seq
+  FROM t1 GROUP BY 1
+  UNION ALL
+  SELECT CAST(date_trunc('month', bucket) AS DATE) AS p_month,
+         COUNT(*) AS n_rows, CAST(SUM(n_seq) AS BIGINT) AS sum_n_seq
+  FROM tfull
+  WHERE CAST(date_trunc('month', bucket) AS DATE) IN (SELECT m FROM chm)
+  GROUP BY 1
+) GROUP BY 2
 """
 
 # ---- Structured Streaming parity (r5) ---------------------------------------
