@@ -353,9 +353,9 @@ def _speculative_ts_run_decode(data_np, datap, pos, ones, delta, prev, out, i, n
     while i < n:
         k_max = min(n - i, (blen - pos) // W, batch)
         if k_max <= 0:
-            k = k_max = 0
-            # fall through to the zero-run attempt: fewer than W bits may
-            # remain, but a short dod=0 tail can still be consumed here
+            # fewer than W bits remain: the scalar loop handles any short
+            # tail (the k<96 break-even below would bounce us out anyway)
+            return pos, delta, prev, i
         else:
             starts = pos + W * np.arange(k_max, dtype=np.int64)
             sb = starts >> 3
@@ -803,6 +803,7 @@ def _speculative_run_decode(
         pos += W * k
         if k < k_max:
             return pos, cur, i  # hit a non-'10' control — scalar takes over
+        batch = min(batch * 8, 1 << 16)
     return pos, cur, i
 
 

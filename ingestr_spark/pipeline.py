@@ -78,7 +78,6 @@ def main(argv: list[str] | None = None) -> int:
     tiers = args.tiers.split(",")
 
     t0 = time.time()
-    raw = spark.read.parquet(args.input)
     pre_versions = {t: store.current_snapshot(t)["version"] for t in tiers}
     if args.stream:
         from ingestr_spark.streaming.jobs import refresh_store_availablenow
@@ -93,7 +92,7 @@ def main(argv: list[str] | None = None) -> int:
             for t in tiers
         }  # snapshot commits this drain (0 = nothing new)
     else:
-        built = store.build_all(raw, tiers)
+        built = store.build_all(spark.read.parquet(args.input), tiers)
 
     codec_ok: dict[str, bool] = {}
     if args.compress:

@@ -87,6 +87,9 @@ class AggregateStore:
     def manifest_path(self, tier: str) -> str:
         return f"{self.root}/manifest/{tier}"
 
+    def jobs_path(self, tier: str) -> str:
+        return f"{self.root}/jobs/{tier}"
+
     # ---- snapshot pointer (the commit mechanism) --------------------------
     def _rel(self, path: str) -> str:
         """Root-relative form of a data dir for storage INSIDE a snapshot.
@@ -137,10 +140,36 @@ class AggregateStore:
         been written."""
         return self.snapshot(tier)
 
+    def _record_job(self, tier: str, job_id: str, version: int) -> None:
+        """Write the DURABLE per-job commit record (``jobs/<tier>/<id>.json``,
+        immutable once the job is done): job ids must survive snapshot
+        expiry, or a gc between a crash and its replay would let an
+        already-applied batch double-merge. ``os.replace`` is atomic; if the
+        same job somehow records twice the later (higher) version wins,
+        matching the old highest-retained-snapshot semantics."""
+        jd = self.jobs_path(tier)
+        os.makedirs(jd, exist_ok=True)
+        tmp = f"{jd}/.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, "committed_at": time.time()}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, f"{jd}/{job_id}.json")
+
     def committed_job_ids(self, tier: str) -> set[str]:
-        """Every job that ever committed a snapshot (the snapshot log is the
-        source of truth for exactly-once; the manifest is lineage/metrics)."""
+        """Every job that ever committed a snapshot — the exactly-once
+        source of truth (the manifest is lineage/metrics). Reads the durable
+        job records (r5: these survive :meth:`gc` snapshot expiry) unioned
+        with the retained snapshot files (older stores have no job records;
+        a crash between snapshot link and record write leaves the snapshot
+        as the only witness until :meth:`version_of_job` heals it)."""
         out = set()
+        jd = self.jobs_path(tier)
+        if os.path.isdir(jd):
+            out.update(
+                f[:-5] for f in os.listdir(jd)
+                if f.endswith(".json") and not f.startswith(".tmp-")
+            )
         for v in self._snapshot_versions(tier):
             with open(f"{self.snapshots_path(tier)}/v{v}.json") as fh:
                 j = json.load(fh).get("job_id")
@@ -149,17 +178,29 @@ class AggregateStore:
         return out
 
     def version_of_job(self, tier: str, job_id: str) -> int | None:
-        """Highest RETAINED snapshot version committed by ``job_id`` (None if
-        the job never committed, or its snapshot was expired by gc). Lets a
+        """The snapshot version committed by ``job_id`` (None if the job
+        never committed). O(1) via the durable job record, which survives
+        snapshot expiry (r5); falls back to scanning retained snapshots for
+        pre-record stores or a crash between snapshot link and record
+        write, and heals the record when the scan finds one. Lets a
         replayed orchestration recover the exact pre/post state of its own
         earlier commit — e.g. the streaming cascade uses (version - 1) as
         the diff base so a crash between a finer-tier merge and the coarser
-        refresh is healed instead of silently skipped."""
+        refresh is healed instead of silently skipped. (The DIFF still
+        needs snapshot v-1 retained; gc past an unfinished batch's base
+        makes the cascade fail loudly, never silently.)"""
+        rec = f"{self.jobs_path(tier)}/{job_id}.json"
+        if os.path.exists(rec):
+            with open(rec) as fh:
+                return json.load(fh)["version"]
         out = None
-        for v in self._snapshot_versions(tier):
+        for v in reversed(self._snapshot_versions(tier)):
             with open(f"{self.snapshots_path(tier)}/v{v}.json") as fh:
                 if json.load(fh).get("job_id") == job_id:
                     out = v
+                    break
+        if out is not None:
+            self._record_job(tier, job_id, out)
         return out
 
     def _commit_snapshot(
@@ -211,6 +252,10 @@ class AggregateStore:
             os.link(tmp, final)  # fails if the version already exists (CAS)
         finally:
             os.unlink(tmp)
+        # durable job record AFTER the commit point: replay detection must
+        # survive gc's snapshot expiry (a crash landing between link and
+        # record is healed by version_of_job's snapshot-scan fallback)
+        self._record_job(tier, job_id, snap["version"])
         return snap
 
     # ---- manifest (lineage + metrics) ------------------------------------
@@ -301,12 +346,22 @@ class AggregateStore:
         a changed month re-emits ALL its rows, not a row-level delta — which
         is exactly what a downstream cascade consumer needs to recompute
         (coarser tiers recombine whole months algebraically). Returns an
-        empty DataFrame with the tier schema when nothing changed."""
+        empty DataFrame with the tier schema when nothing changed — schema
+        from the to-snapshot, or any retained snapshot when that one holds
+        no partitions (retention can empty a tier); raises only when the
+        tier has never held data anywhere (no schema to synthesize)."""
         d = self.snapshot_diff(tier, from_version, to_version)
         months = sorted(set(d["added"]) | set(d["changed"]))
         if not months:
-            # schema from the to-snapshot (or current) so callers can union
-            return self.read_tier(tier, version=to_version).limit(0)
+            for v in [to_version, *reversed(self._snapshot_versions(tier))]:
+                try:
+                    return self.read_tier(tier, version=v).limit(0)
+                except FileNotFoundError:
+                    continue
+            raise FileNotFoundError(
+                f"tier {tier}: nothing changed, and no retained snapshot "
+                "holds a partition to take the empty result's schema from"
+            )
         return self.read_tier(tier, months=months, version=to_version)
 
     # ---- tier build with checkpoint/resume --------------------------------
@@ -428,17 +483,8 @@ class AggregateStore:
         """
         job_id = job_id or uuid.uuid4().hex[:12]
         # phase 1: a retried micro-batch (same job_id, e.g. streaming
-        # batchId) that already committed must not double-merge its delta.
-        # The SNAPSHOT log is the commit record; the manifest may lag a
-        # crash by one step and is reconciled here.
-        if job_id in self.committed_job_ids(tier):
-            m = self.read_manifest(tier)
-            logged = (
-                m is not None
-                and m.filter(F.col("job_id") == job_id).limit(1).count() > 0
-            )
-            if not logged:
-                self._log_job_from_data(tier, job_id)
+        # batchId) that already committed must not double-merge its delta
+        if self._reconcile_replayed(tier, job_id):
             return []
 
         # phase 2: tier is untouched by this job (nothing references any
@@ -501,14 +547,7 @@ class AggregateStore:
         returns []. Returns the refreshed months.
         """
         job_id = job_id or uuid.uuid4().hex[:12]
-        if job_id in self.committed_job_ids(coarser):
-            m = self.read_manifest(coarser)
-            logged = (
-                m is not None
-                and m.filter(F.col("job_id") == job_id).limit(1).count() > 0
-            )
-            if not logged:
-                self._log_job_from_data(coarser, job_id)
+        if self._reconcile_replayed(coarser, job_id):
             return []
         d = self.snapshot_diff(finer, since_version)
         months = sorted(set(d["added"]) | set(d["changed"]))
@@ -528,12 +567,36 @@ class AggregateStore:
         self._log_job_from_data(coarser, job_id)
         return months
 
+    def _reconcile_replayed(self, tier: str, job_id: str) -> bool:
+        """The exactly-once replay gate, shared by every committing op: True
+        iff ``job_id`` already committed (durable job record or retained
+        snapshot), in which case the only remaining work is healing a
+        manifest append the crash may have cut off — the caller must then
+        no-op. The commit record is the source of truth; the manifest can
+        lag it by exactly one step."""
+        if job_id not in self.committed_job_ids(tier):
+            return False
+        m = self.read_manifest(tier)
+        logged = (
+            m is not None
+            and m.filter(F.col("job_id") == job_id).limit(1).count() > 0
+        )
+        if not logged:
+            self._log_job_from_data(tier, job_id)
+        return True
+
     def _log_job_from_data(self, tier: str, job_id: str) -> None:
         """Append manifest rows for a committed job by reading its own
         immutable data directory (idempotent source: replaying produces the
         same rows; used both on the happy path and when healing a crash
         between snapshot commit and manifest append)."""
         data_dir = self.data_path(tier, job_id)
+        if not os.path.isdir(data_dir):
+            # the job's data was superseded AND collected by gc before the
+            # manifest healed (possible only for long-dead jobs replayed
+            # past the gc horizon) — the lineage row is unrecoverable;
+            # skip rather than crash the replay no-op
+            return
         stats = (
             self.spark.read.parquet(data_dir)
             .groupBy("p_month")
@@ -565,6 +628,8 @@ class AggregateStore:
         become unreferenced and are collected by :meth:`gc`. Value-neutral
         by construction (same rows, new layout). Returns compacted months."""
         job_id = job_id or f"compact-{uuid.uuid4().hex[:8]}"
+        # plain replay check, not _reconcile_replayed: compaction is
+        # layout-only and deliberately writes no lineage manifest rows
         if job_id in self.committed_job_ids(tier):
             return []
         current = self.current_snapshot(tier)["partitions"]
@@ -654,11 +719,14 @@ class AggregateStore:
         committer's existence pre-check turns the race loss into a loud
         abort rather than a dangling snapshot.
 
-        Expiring snapshots also forgets their job_ids, so a replay of a job
-        OLDER than the retained snapshot window is no longer detected as
-        committed (Iceberg's expire_snapshots has the same property) — run
-        gc only after the upstream's replay horizon (e.g. the streaming
-        checkpoint) has passed those batches."""
+        Job-commit records are DURABLE (r5, ``jobs/<tier>/``): expiring a
+        snapshot no longer forgets who committed it, so a replay of any
+        past batch is still detected as committed and no-ops — gc cannot
+        reopen a double-merge window. What expiry DOES still remove is the
+        snapshot content old DIFF BASES need: a cascade replay whose base
+        version was expired fails loudly in snapshot_diff rather than
+        recomputing from the wrong state, so run gc with a keep_snapshots
+        window past the streaming checkpoint's in-flight batches."""
         if keep_snapshots < 1:
             raise ValueError("keep_snapshots must be >= 1 (the current "
                              "snapshot must survive gc)")

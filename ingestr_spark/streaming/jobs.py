@@ -84,7 +84,9 @@ def refresh_store_availablenow(
         for finer, coarser in zip(tiers, tiers[1:]):
             base = store.version_of_job(finer, f"stream-{finer}-{batch_id}")
             if base is None:
-                break  # empty batch: the finer tier never committed
+                # genuinely never committed (empty batch): job records are
+                # durable, so gc expiry cannot masquerade as this case
+                break
             store.cascade_refresh(
                 finer, coarser, since_version=base - 1,
                 job_id=f"stream-{coarser}-{batch_id}",

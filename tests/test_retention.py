@@ -472,3 +472,49 @@ def test_compact_rewrites_small_files_value_neutral(spark, tok, tmp_path):
         tuple(r) for r in s.read_tier("1d")
         .select("source", "bucket", "n_seq", "sum_n_tok").collect()
     ) == before
+
+
+def test_job_records_survive_gc_snapshot_expiry(spark, tok, tmp_path):
+    """Durable job-commit records (r5): expiring snapshots must NOT forget
+    committed jobs — a replayed micro-batch after a gc would otherwise
+    re-merge its already-applied delta (double count). Also covers the
+    crash-window heal: a record lost between snapshot link and record
+    write is rebuilt from the retained snapshot scan."""
+    s = AggregateStore(spark, str(tmp_path / "store_jr"))
+    parts = [tok.filter(f"id % 3 = {k}") for k in range(3)]
+    s.build_tier("1d", parts[0], job_id="j-build")
+    s.incremental_update("1d", parts[1], job_id="j-b1")
+    v1 = s.version_of_job("1d", "j-b1")
+    s.incremental_update("1d", parts[2], job_id="j-b2")
+    cols = ["source", "bucket", "n_seq", "sum_n_tok"]
+    before = sorted(tuple(r) for r in s.read_tier("1d").select(*cols).collect())
+
+    s.gc("1d", keep_snapshots=1, min_age_seconds=0)
+    assert v1 not in s._snapshot_versions("1d")  # snapshot truly expired
+    # ... but the job is still known, at its original version
+    assert "j-b1" in s.committed_job_ids("1d")
+    assert s.version_of_job("1d", "j-b1") == v1
+    # replay of the already-applied batch no-ops instead of double-merging
+    assert s.incremental_update("1d", parts[1], job_id="j-b1") == []
+    after = sorted(tuple(r) for r in s.read_tier("1d").select(*cols).collect())
+    assert after == before
+
+    # heal: lose the record of a job whose snapshot IS retained
+    os.remove(f"{s.jobs_path('1d')}/j-b2.json")
+    assert s.version_of_job("1d", "j-b2") == s.current_snapshot("1d")["version"]
+    assert os.path.exists(f"{s.jobs_path('1d')}/j-b2.json")  # re-written
+
+
+def test_read_changes_empty_to_snapshot_schema_fallback(spark, tok, tmp_path):
+    """read_changes' documented contract: nothing changed -> empty frame
+    WITH the tier schema, even when the to-snapshot holds zero partitions
+    (retention can empty a tier) — the schema comes from an earlier
+    retained snapshot instead of raising 'no committed partitions'."""
+    s = AggregateStore(spark, str(tmp_path / "store_rc"))
+    s.build_tier("1d", tok)
+    months = sorted(s.current_snapshot("1d")["partitions"])
+    s._commit_snapshot("1d", {m: None for m in months}, "drop-all")
+    v_empty = s.current_snapshot("1d")["version"]
+    df = s.read_changes("1d", v_empty)
+    assert df.count() == 0
+    assert "n_seq" in df.columns and "bucket" in df.columns
