@@ -82,8 +82,13 @@ def test_spark_submit_pyfiles_multi_executor(spark, tok, tmp_path):
     # once 1d verifies, and a zero-grace gc (safe here: no concurrent
     # writer) physically collects the dropped dirs
     res2 = _submit(zpath, tok_path, store,
-                   "--retain-before", "2023-01", "--gc", "--gc-min-age", "0")
+                   "--retain-before", "2023-01", "--gc", "--gc-min-age", "0",
+                   "--compact-all")
     assert res2["built_partitions"] == {"1h": 0, "1d": 0, "1mo": 0}
+    # --compact-all rewrites every tier even when the build was a no-op
+    # (incremental --compact would have skipped: no months re-pointed);
+    # it runs AFTER the retention drop, so dropped months are not rewritten
+    assert all(n >= 1 for n in res2["compacted_partitions"].values()), res2
     dropped = res2.get("dropped_partitions", {}).get("1h", [])
     assert dropped, res2  # the fixture spans 2022 months, so some must drop
     assert all(m < "2023-01" for m in dropped)
