@@ -147,6 +147,8 @@ class AggregateStore:
         already-applied batch double-merge. ``os.replace`` is atomic; if the
         same job somehow records twice the later (higher) version wins,
         matching the old highest-retained-snapshot semantics."""
+        if "/" in job_id or job_id.startswith(".tmp-") or not job_id:
+            raise ValueError(f"job_id {job_id!r} is not filename-safe")
         jd = self.jobs_path(tier)
         os.makedirs(jd, exist_ok=True)
         tmp = f"{jd}/.tmp-{uuid.uuid4().hex}"
@@ -254,7 +256,8 @@ class AggregateStore:
             os.unlink(tmp)
         # durable job record AFTER the commit point: replay detection must
         # survive gc's snapshot expiry (a crash landing between link and
-        # record is healed by version_of_job's snapshot-scan fallback)
+        # record is healed by version_of_job's snapshot-scan fallback and
+        # by gc's heal-before-expire pass)
         self._record_job(tier, job_id, snap["version"])
         return snap
 
@@ -784,5 +787,13 @@ class AggregateStore:
                 ) and not _young(job_dir):
                     shutil.rmtree(job_dir)
         for v in versions[:-keep_snapshots]:
-            os.unlink(f"{self.snapshots_path(tier)}/v{v}.json")
+            path = f"{self.snapshots_path(tier)}/v{v}.json"
+            with open(path) as fh:
+                j = json.load(fh).get("job_id")
+            # heal-before-expire: a commit that crashed between snapshot
+            # link and job-record write would otherwise be forgotten the
+            # moment its only witness (this file) is deleted
+            if j and not os.path.exists(f"{self.jobs_path(tier)}/{j}.json"):
+                self._record_job(tier, j, v)
+            os.unlink(path)
         return removed

@@ -518,3 +518,21 @@ def test_read_changes_empty_to_snapshot_schema_fallback(spark, tok, tmp_path):
     df = s.read_changes("1d", v_empty)
     assert df.count() == 0
     assert "n_seq" in df.columns and "bucket" in df.columns
+
+
+def test_gc_heals_missing_job_record_before_expiry(spark, tok, tmp_path):
+    """The link-to-record crash window: a commit whose job record never
+    landed must not be forgotten when gc expires its snapshot — gc writes
+    the record from the snapshot's own job_id before unlinking it."""
+    s = AggregateStore(spark, str(tmp_path / "store_heal"))
+    parts = [tok.filter(f"id % 2 = {k}") for k in range(2)]
+    s.build_tier("1d", parts[0], job_id="j-a")
+    s.incremental_update("1d", parts[1], job_id="j-b")
+    # simulate the crash: j-a committed its snapshot but lost its record
+    os.remove(f"{s.jobs_path('1d')}/j-a.json")
+    s.gc("1d", keep_snapshots=1, min_age_seconds=0)  # expires j-a's snapshot
+    assert "j-a" in s.committed_job_ids("1d")
+    # the healed record carries the original version
+    assert s.version_of_job("1d", "j-a") == 1
+    # and a replay of the build still no-ops
+    assert s.build_tier("1d", parts[0], job_id="j-a") == 0
