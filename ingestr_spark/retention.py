@@ -140,20 +140,37 @@ class AggregateStore:
         been written."""
         return self.snapshot(tier)
 
-    def _record_job(self, tier: str, job_id: str, version: int) -> None:
+    @staticmethod
+    def _check_job_id(job_id: str) -> str:
+        """Job ids become data-dir names and job-record filenames, so they
+        must be a single path segment. Checked where a job_id ENTERS (the
+        public committing ops + _commit_snapshot), i.e. BEFORE any data is
+        written or any snapshot links — an id rejected after the commit
+        point would leave published state behind the error."""
+        if (not job_id or "/" in job_id or os.sep in job_id
+                or job_id.startswith(".tmp-") or job_id in (".", "..")):
+            raise ValueError(f"job_id {job_id!r} is not filename-safe")
+        return job_id
+
+    def _record_job(
+        self, tier: str, job_id: str, version: int,
+        committed_at: float | None = None,
+    ) -> None:
         """Write the DURABLE per-job commit record (``jobs/<tier>/<id>.json``,
         immutable once the job is done): job ids must survive snapshot
         expiry, or a gc between a crash and its replay would let an
         already-applied batch double-merge. ``os.replace`` is atomic; if the
         same job somehow records twice the later (higher) version wins,
-        matching the old highest-retained-snapshot semantics."""
-        if "/" in job_id or job_id.startswith(".tmp-") or not job_id:
-            raise ValueError(f"job_id {job_id!r} is not filename-safe")
+        matching the old highest-retained-snapshot semantics.
+        ``committed_at`` preserves the ORIGINAL commit time when a heal
+        rebuilds a record after the fact."""
+        self._check_job_id(job_id)
         jd = self.jobs_path(tier)
         os.makedirs(jd, exist_ok=True)
         tmp = f"{jd}/.tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
-            json.dump({"version": version, "committed_at": time.time()}, fh)
+            json.dump({"version": version,
+                       "committed_at": committed_at or time.time()}, fh)
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, f"{jd}/{job_id}.json")
@@ -214,6 +231,7 @@ class AggregateStore:
         create-exclusive primitive — a concurrent committer of the same
         version fails loudly instead of silently clobbering (single-writer
         is the documented contract; the link models Iceberg's CAS commit)."""
+        self._check_job_id(job_id)
         cur = self.current_snapshot(tier)
         parts = dict(cur["partitions"])
         for month, d in updates.items():
@@ -382,7 +400,7 @@ class AggregateStore:
 
         Returns the number of month-partitions built this run.
         """
-        job_id = job_id or uuid.uuid4().hex[:12]
+        job_id = self._check_job_id(job_id or uuid.uuid4().hex[:12])
         agg = (
             rollup_from_raw(source_df, tier)
             if from_tier is None
@@ -484,7 +502,7 @@ class AggregateStore:
 
         Returns the list of refreshed months (empty on a committed replay).
         """
-        job_id = job_id or uuid.uuid4().hex[:12]
+        job_id = self._check_job_id(job_id or uuid.uuid4().hex[:12])
         # phase 1: a retried micro-batch (same job_id, e.g. streaming
         # batchId) that already committed must not double-merge its delta
         if self._reconcile_replayed(tier, job_id):
@@ -549,7 +567,7 @@ class AggregateStore:
         ``job_id`` that already committed reconciles the manifest and
         returns []. Returns the refreshed months.
         """
-        job_id = job_id or uuid.uuid4().hex[:12]
+        job_id = self._check_job_id(job_id or uuid.uuid4().hex[:12])
         if self._reconcile_replayed(coarser, job_id):
             return []
         d = self.snapshot_diff(finer, since_version)
@@ -630,7 +648,8 @@ class AggregateStore:
         and published by a single snapshot re-point; the superseded dirs
         become unreferenced and are collected by :meth:`gc`. Value-neutral
         by construction (same rows, new layout). Returns compacted months."""
-        job_id = job_id or f"compact-{uuid.uuid4().hex[:8]}"
+        job_id = self._check_job_id(
+            job_id or f"compact-{uuid.uuid4().hex[:8]}")
         # plain replay check, not _reconcile_replayed: compaction is
         # layout-only and deliberately writes no lineage manifest rows
         if job_id in self.committed_job_ids(tier):
@@ -789,11 +808,18 @@ class AggregateStore:
         for v in versions[:-keep_snapshots]:
             path = f"{self.snapshots_path(tier)}/v{v}.json"
             with open(path) as fh:
-                j = json.load(fh).get("job_id")
+                sj = json.load(fh)
+            j = sj.get("job_id")
             # heal-before-expire: a commit that crashed between snapshot
             # link and job-record write would otherwise be forgotten the
-            # moment its only witness (this file) is deleted
+            # moment its only witness (this file) is deleted. Tolerant of
+            # legacy snapshots with absent/unsafe job ids — those can never
+            # have a record; wedging expiry on them would be worse.
             if j and not os.path.exists(f"{self.jobs_path(tier)}/{j}.json"):
-                self._record_job(tier, j, v)
+                try:
+                    self._record_job(tier, j, v,
+                                     committed_at=sj.get("committed_at"))
+                except ValueError:
+                    pass
             os.unlink(path)
         return removed

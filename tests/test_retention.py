@@ -534,5 +534,18 @@ def test_gc_heals_missing_job_record_before_expiry(spark, tok, tmp_path):
     assert "j-a" in s.committed_job_ids("1d")
     # the healed record carries the original version
     assert s.version_of_job("1d", "j-a") == 1
-    # and a replay of the build still no-ops
-    assert s.build_tier("1d", parts[0], job_id="j-a") == 0
+    # a replay through the exactly-once gate (the path that would
+    # double-merge without the healed record) still no-ops
+    before = sorted(
+        tuple(r) for r in s.read_tier("1d")
+        .select("source", "bucket", "n_seq").collect()
+    )
+    assert s.incremental_update("1d", parts[0], job_id="j-a") == []
+    assert sorted(
+        tuple(r) for r in s.read_tier("1d")
+        .select("source", "bucket", "n_seq").collect()
+    ) == before
+    # filename-unsafe ids are rejected BEFORE any data is written
+    with pytest.raises(ValueError, match="filename-safe"):
+        s.incremental_update("1d", parts[0], job_id="a/b")
+    assert not os.path.isdir(f"{s.root}/data/1d/a")
