@@ -105,6 +105,22 @@ def rollup_from_raw(
     return _derived(out)
 
 
+def _acc_merge_exprs():
+    """The one definition of how tier accumulators recombine (sum/min/max
+    compose; shared by the coarser-tier cascade and the same-grain
+    merge-on-read recombine so they can never drift apart)."""
+    return [
+        F.sum("n_seq").alias("n_seq"),
+        F.sum("sum_n_tok").alias("sum_n_tok"),
+        F.min("min_n_tok").alias("min_n_tok"),
+        F.max("max_n_tok").alias("max_n_tok"),
+        F.sum("tok_sum").alias("tok_sum"),
+        F.min("tok_min").alias("tok_min"),
+        F.max("tok_max").alias("tok_max"),
+        F.sum("qc_ok_cnt").alias("qc_ok_cnt"),
+    ]
+
+
 def rollup_cascade(tier_df: DataFrame, to_tier: str, key: str = "source") -> DataFrame:
     """Re-aggregate a finer tier into a coarser one (1h→1d, 1d→1mo, …).
 
@@ -117,16 +133,20 @@ def rollup_cascade(tier_df: DataFrame, to_tier: str, key: str = "source") -> Dat
     out = tier_df.groupBy(
         F.col(key).alias("source"),
         bucket_expr(to_tier, "bucket").alias("bucket"),
-    ).agg(
-        F.sum("n_seq").alias("n_seq"),
-        F.sum("sum_n_tok").alias("sum_n_tok"),
-        F.min("min_n_tok").alias("min_n_tok"),
-        F.max("max_n_tok").alias("max_n_tok"),
-        F.sum("tok_sum").alias("tok_sum"),
-        F.min("tok_min").alias("tok_min"),
-        F.max("tok_max").alias("tok_max"),
-        F.sum("qc_ok_cnt").alias("qc_ok_cnt"),
-    )
+    ).agg(*_acc_merge_exprs())
+    return _derived(out)
+
+
+def recombine(tier_df: DataFrame, key: str = "source") -> DataFrame:
+    """SAME-grain recombination of partial tier rows (merge-on-read, r6):
+    the union of a month's base rows and its per-batch delta rows collapses
+    back to one row per (key, bucket). Buckets are already truncated to the
+    tier grain, so no re-bucketing is needed — this is ``rollup_cascade``
+    with the identity bucket, grain-agnostic by construction. Integer
+    accumulators make the result independent of partitioning and delta
+    order; the derived doubles are recomputed by the same expression, so
+    a recombined read is bit-identical to an eager merge."""
+    out = tier_df.groupBy(key, "bucket").agg(*_acc_merge_exprs())
     return _derived(out)
 
 

@@ -12,9 +12,19 @@ mutation anywhere on the read or commit path:
   exactly how Iceberg writers target S3-class stores.
 * **Readers resolve partitions through a snapshot pointer.** The current
   table state is the highest-numbered ``snapshots/<tier>/v<N>.json`` — a map
-  from ``p_month`` to the immutable data directory that currently owns it.
-  A half-written job is invisible: nothing references its files until the
-  snapshot commit.
+  from ``p_month`` to the immutable data that currently owns it: ONE
+  directory (a fully built/compacted month) or an ordered directory STACK
+  ``[base, delta, delta, ...]`` (merge-on-read, r6). A half-written job is
+  invisible: nothing references its files until the snapshot commit.
+* **Incremental merges are MERGE-ON-READ (r6).** ``incremental_update``
+  writes ONLY the delta aggregate and appends its month dirs to each
+  affected month's stack — write cost O(delta), never O(month) (the r5
+  copy-on-write rewrite amplified every hot-month micro-batch to a full
+  month rewrite). ``read_tier`` recombines a stacked month algebraically
+  on read (integer accumulators, order-independent, bit-identical to an
+  eager merge), and :meth:`compact` is where stacks fold back into one
+  base dir — exactly Iceberg's merge-on-read delete-file + rewrite split.
+  Compaction cadence bounds a stack's depth and hence read amplification.
 * **Commit = publish one new snapshot file.** The new version is created
   with a CREATE-EXCLUSIVE link (fails loudly if the version already exists —
   optimistic concurrency; on a real object store this is the catalog's
@@ -67,7 +77,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ingestr_spark.operators.rollup import rollup_cascade, rollup_from_raw
+from ingestr_spark.operators.rollup import recombine, rollup_cascade, rollup_from_raw
 
 TIER_CHAIN = ["1h", "1d", "1mo"]
 
@@ -104,6 +114,17 @@ class AggregateStore:
         """Absolute path for a snapshot entry; absolute entries (legacy
         pre-relative snapshots) pass through unchanged."""
         return path if os.path.isabs(path) else f"{self.root}/{path}"
+
+    @staticmethod
+    def _entry_dirs(entry) -> list[str]:
+        """A snapshot partition entry is either ONE data dir (str — a fully
+        built or compacted month) or an ordered dir STACK
+        ``[base, delta, ...]`` (merge-on-read, r6). None (month absent)
+        normalizes to []. Strings stay the canonical single-dir form, so
+        pre-r6 snapshots read unchanged."""
+        if entry is None:
+            return []
+        return [entry] if isinstance(entry, str) else list(entry)
 
     def _snapshot_versions(self, tier: str) -> list[int]:
         d = self.snapshots_path(tier)
@@ -159,13 +180,23 @@ class AggregateStore:
         """Write the DURABLE per-job commit record (``jobs/<tier>/<id>.json``,
         immutable once the job is done): job ids must survive snapshot
         expiry, or a gc between a crash and its replay would let an
-        already-applied batch double-merge. ``os.replace`` is atomic; if the
-        same job somehow records twice the later (higher) version wins,
-        matching the old highest-retained-snapshot semantics.
+        already-applied batch double-merge. ``os.replace`` is atomic, and an
+        existing record holding a >= version is left alone (r6) — so even a
+        healing writer racing another recorder cannot regress the recorded
+        version (job ids are single-commit by contract; this guard makes the
+        higher-version-wins semantics true rather than last-writer-wins).
         ``committed_at`` preserves the ORIGINAL commit time when a heal
         rebuilds a record after the fact."""
         self._check_job_id(job_id)
         jd = self.jobs_path(tier)
+        existing = f"{jd}/{job_id}.json"
+        if os.path.exists(existing):
+            try:
+                with open(existing) as fh:
+                    if json.load(fh).get("version", -1) >= version:
+                        return
+            except (OSError, ValueError):
+                pass  # unreadable/corrupt record: rewrite it below
         os.makedirs(jd, exist_ok=True)
         tmp = f"{jd}/.tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
@@ -212,33 +243,50 @@ class AggregateStore:
         if os.path.exists(rec):
             with open(rec) as fh:
                 return json.load(fh)["version"]
-        out = None
+        out, out_committed_at = None, None
         for v in reversed(self._snapshot_versions(tier)):
             with open(f"{self.snapshots_path(tier)}/v{v}.json") as fh:
-                if json.load(fh).get("job_id") == job_id:
-                    out = v
-                    break
+                sj = json.load(fh)
+            if sj.get("job_id") == job_id:
+                out, out_committed_at = v, sj.get("committed_at")
+                break
         if out is not None:
-            self._record_job(tier, job_id, out)
+            # heal preserves the ORIGINAL commit time (r6 — matches gc's
+            # heal-before-expire), not the heal time
+            self._record_job(tier, job_id, out, committed_at=out_committed_at)
         return out
 
     def _commit_snapshot(
-        self, tier: str, updates: dict[str, str | None], job_id: str
+        self,
+        tier: str,
+        updates: dict[str, str | list[str] | None],
+        job_id: str,
+        base: dict | None = None,
     ) -> dict:
-        """Publish snapshot v(N+1) = latest partitions patched by ``updates``
-        (month -> data dir, or None to drop the month). The file is written
-        to a unique temp name then linked to its final version name with a
-        create-exclusive primitive — a concurrent committer of the same
-        version fails loudly instead of silently clobbering (single-writer
-        is the documented contract; the link models Iceberg's CAS commit)."""
+        """Publish snapshot v(N+1) = ``base`` partitions patched by
+        ``updates`` (month -> data dir, dir stack, or None to drop the
+        month). The file is written to a unique temp name then linked to its
+        final version name with a create-exclusive primitive — a concurrent
+        committer of the same version fails loudly instead of silently
+        clobbering (the link models Iceberg's CAS commit).
+
+        ``base`` (r6) is the snapshot the CALLER's computation was derived
+        from; when given, the new version is base.version + 1, so an
+        interleaved commit by anyone else (another merge, a compaction, a
+        retention drop) makes THIS link fail with FileExistsError instead of
+        publishing state computed against a superseded snapshot — the
+        optimistic-concurrency loser loses loudly and simply reruns its op
+        against the new current snapshot. Defaults to the current snapshot
+        (direct low-level callers keep the minimal race window they had)."""
         self._check_job_id(job_id)
-        cur = self.current_snapshot(tier)
+        cur = base if base is not None else self.current_snapshot(tier)
         parts = dict(cur["partitions"])
         for month, d in updates.items():
             if d is None:
                 parts.pop(month, None)
             else:
-                parts[month] = self._rel(d)
+                dirs = [self._rel(x) for x in self._entry_dirs(d)]
+                parts[month] = dirs[0] if len(dirs) == 1 else dirs
         snap = {
             "version": cur["version"] + 1,
             "partitions": dict(sorted(parts.items())),
@@ -253,13 +301,14 @@ class AggregateStore:
         # time. The grace window in gc() prevents the race by default; this
         # check makes the remaining misuse loud at the committer.
         for month, upd in updates.items():
-            if upd is not None and not os.path.isdir(self._resolve(self._rel(upd))):
-                raise RuntimeError(
-                    f"commit aborted for {tier}/{month}: data dir {upd} "
-                    "vanished before snapshot publish — concurrent gc with "
-                    "min_age_seconds=0 against an in-flight job, or a wrong "
-                    "path; nothing was published"
-                )
+            for d in self._entry_dirs(upd):
+                if not os.path.isdir(self._resolve(self._rel(d))):
+                    raise RuntimeError(
+                        f"commit aborted for {tier}/{month}: data dir {d} "
+                        "vanished before snapshot publish — concurrent gc "
+                        "with min_age_seconds=0 against an in-flight job, or "
+                        "a wrong path; nothing was published"
+                    )
         d = self.snapshots_path(tier)
         os.makedirs(d, exist_ok=True)
         tmp = f"{d}/.tmp-{uuid.uuid4().hex}"
@@ -315,26 +364,49 @@ class AggregateStore:
         unselected partitions never even enter the plan (the snapshot is the
         partition index, like Iceberg manifests). Data dirs are immutable and
         :meth:`gc` only deletes dirs unreferenced by every RETAINED snapshot,
-        so any version that still loads resolves to live files."""
+        so any version that still loads resolves to live files.
+
+        Merge-on-read (r6): a month whose entry is a dir STACK (base +
+        per-batch deltas) is recombined algebraically here — the partial
+        rows collapse to one row per (source, bucket), bit-identical to an
+        eager merge (integer accumulators; the derived doubles recompute by
+        the same expression). Single-dir months take the direct-scan fast
+        path, so a fully compacted store pays nothing; the recombine shuffle
+        is over TIER rows of the stacked months only (bounded by keys ×
+        calendar buckets, never raw-scale), and compaction cadence bounds
+        stack depth."""
         parts = self.snapshot(tier, version)["partitions"]
         if months is not None:
-            parts = {m: d for m, d in parts.items() if m in months}
+            parts = {m: e for m, e in parts.items() if m in months}
         if not parts:
             raise FileNotFoundError(
                 f"tier {tier}: no committed partitions"
                 + (f" at snapshot v{version}" if version is not None else "")
             )
-        parts = {m: self._resolve(d) for m, d in parts.items()}
-        # group month dirs by their owning job dir so each read keeps the
-        # p_month partition column (basePath) and the plan stays small
+        singles: list[str] = []
+        stacked: list[str] = []
+        for entry in parts.values():
+            dirs = [self._resolve(d) for d in self._entry_dirs(entry)]
+            (singles if len(dirs) == 1 else stacked).extend(dirs)
+        frames = []
+        # group single-dir months by their owning job dir so each read keeps
+        # the p_month partition column (basePath) and the plan stays small
         by_job: dict[str, list[str]] = {}
-        for month, d in parts.items():
-            job_dir = os.path.dirname(d)
-            by_job.setdefault(job_dir, []).append(d)
+        for d in singles:
+            by_job.setdefault(os.path.dirname(d), []).append(d)
         frames = [
             self.spark.read.option("basePath", job_dir).parquet(*sorted(dirs))
             for job_dir, dirs in sorted(by_job.items())
         ]
+        if stacked:
+            # stacked months: one scan over every dir of every stack (each
+            # dir holds exactly one month's rows, so no cross-month bleed),
+            # then the same-grain algebraic recombine
+            raw = self.spark.read.parquet(*sorted(stacked))
+            rec = recombine(raw).withColumn(
+                "p_month", F.date_format("bucket", "yyyy-MM")
+            )
+            frames.append(rec)
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)
@@ -363,8 +435,9 @@ class AggregateStore:
         """Incremental scan (Iceberg's ``incremental read`` between
         snapshots): the rows of every month ADDED or CHANGED after
         ``from_version``, resolved through the ``to_version`` (default
-        current) snapshot. Granularity is copy-on-write month-partitions —
-        a changed month re-emits ALL its rows, not a row-level delta — which
+        current) snapshot. Granularity is whole month-partitions — a changed
+        month re-emits ALL its rows (under merge-on-read, the full
+        RECOMBINED month, not the appended delta) — which
         is exactly what a downstream cascade consumer needs to recompute
         (coarser tiers recombine whole months algebraically). Returns an
         empty DataFrame with the tier schema when nothing changed — schema
@@ -480,25 +553,37 @@ class AggregateStore:
     # ---- incremental maintenance (continuous aggregates) ------------------
     def incremental_update(self, tier: str, new_raw: DataFrame, job_id: str | None = None) -> list[str]:
         """Merge NEW raw rows into one tier without touching unaffected
-        partitions: aggregate the delta, union it with the existing rows of
-        the affected months, recombine algebraically (sum/count/min/max
-        compose — same property the cascade relies on), and point the
-        snapshot at the merged months. This is incremental materialized-view
-        maintenance; with Iceberg the write would be a MERGE INTO.
+        partitions — MERGE-ON-READ (r6): aggregate the delta, write ONLY the
+        delta's month dirs, and append each to its month's snapshot-entry
+        stack. Nothing existing is read or rewritten, so the write cost is
+        O(delta) regardless of how hot the month is (the r5 copy-on-write
+        version rewrote every affected month wholesale — the store's worst
+        cost at streaming cadence). Readers recombine stacks algebraically
+        (:meth:`read_tier`); :meth:`compact` folds a stack back into one
+        base dir. This is incremental materialized-view maintenance in
+        Iceberg's merge-on-read shape (delta files + rewrite_data_files).
 
-        EXACTLY-ONCE protocol (single writer), one atomic decision point:
+        EXACTLY-ONCE protocol (single writer per tier), one atomic decision
+        point:
 
         1. job_id already committed a snapshot → fully visible; a replay
            only reconciles the manifest (idempotent) and returns;
         2. otherwise the tier still reads as the PRE-merge state (data files
            are immutable, readers resolve through the snapshot), so a replay
-           after ANY crash simply recomputes the merge from scratch and
+           after ANY crash simply recomputes the delta from scratch and
            commits — the round-1 double-merge window cannot exist because no
-           partially-swapped state is ever visible.
+           partially-appended state is ever visible.
 
         Crash AFTER the snapshot commit leaves at most an unreferenced
         half-logged manifest; the replay heals it. Unreferenced data from
         pre-commit crashes is collected by :meth:`gc`.
+
+        CONCURRENT maintenance (r6): the snapshot the stack entries were
+        derived from is passed to the commit as its CAS base, so a
+        compaction (or any other commit) landing in between makes THIS
+        commit fail loudly with FileExistsError instead of resurrecting the
+        pre-compaction stack — rerun the merge with the same job_id; the
+        replay gate recomputes against the new current snapshot.
 
         Returns the list of refreshed months (empty on a committed replay).
         """
@@ -509,41 +594,35 @@ class AggregateStore:
             return []
 
         # phase 2: tier is untouched by this job (nothing references any
-        # half-written files) — compute the merge from the live snapshot
-        delta = rollup_from_raw(new_raw, tier).withColumn(
-            "p_month", F.date_format("bucket", "yyyy-MM")
-        )
+        # half-written files) — write the delta aggregate, delta ONLY
         acc = ["n_seq", "sum_n_tok", "min_n_tok", "max_n_tok",
                "tok_sum", "tok_min", "tok_max", "qc_ok_cnt"]
         cols = ["source", "bucket", *acc, "avg_n_tok", "qc_frac", "p_month"]
-        delta = delta.select(*cols).persist()
-        try:
-            months = sorted(
-                r["p_month"] for r in delta.select("p_month").distinct().collect()
-            )
-            if not months:
-                return []
-            try:
-                existing = self.read_tier(tier, months=months)
-                merged_src = existing.select(*cols).unionByName(delta)
-            except FileNotFoundError:
-                merged_src = delta  # first-ever write
-            merged = rollup_cascade(merged_src, tier).withColumn(
-                "p_month", F.date_format("bucket", "yyyy-MM")
-            )
-            data_dir = self.data_path(tier, job_id)
-            # the merge READS the current snapshot's files and WRITES a new
-            # immutable directory — no read-overwrite conflict by construction
-            merged.repartition("p_month", "source").write.mode(
-                "overwrite"
-            ).partitionBy("p_month").parquet(data_dir)
-        finally:
-            delta.unpersist()
-
-        # the commit point: one snapshot retargets every merged month
-        self._commit_snapshot(
-            tier, {m: f"{data_dir}/p_month={m}" for m in months}, job_id
+        delta = rollup_from_raw(new_raw, tier).withColumn(
+            "p_month", F.date_format("bucket", "yyyy-MM")
+        ).select(*cols)
+        data_dir = self.data_path(tier, job_id)
+        delta.repartition("p_month", "source").write.mode(
+            "overwrite"
+        ).partitionBy("p_month").parquet(data_dir)
+        # the write itself is the month discovery: list the job's own output
+        # (no second aggregation pass, no collect over the delta)
+        months = sorted(
+            e.split("=", 1)[1] for e in os.listdir(data_dir)
+            if e.startswith("p_month=")
         )
+        if not months:
+            return []
+
+        # the commit point: append this job's month dirs to each affected
+        # month's stack, CAS'd against the snapshot the stacks came from
+        cur = self.current_snapshot(tier)
+        updates = {
+            m: self._entry_dirs(cur["partitions"].get(m))
+            + [f"{data_dir}/p_month={m}"]
+            for m in months
+        }
+        self._commit_snapshot(tier, updates, job_id, base=cur)
         self._log_job_from_data(tier, job_id)
         return months
 
@@ -574,6 +653,7 @@ class AggregateStore:
         months = sorted(set(d["added"]) | set(d["changed"]))
         if not months:
             return []
+        cur = self.current_snapshot(coarser)  # CAS base for the commit
         src = self.read_tier(finer, months=months)
         agg = rollup_cascade(src, coarser).withColumn(
             "p_month", F.date_format("bucket", "yyyy-MM")
@@ -583,7 +663,8 @@ class AggregateStore:
             "p_month"
         ).parquet(data_dir)
         self._commit_snapshot(
-            coarser, {m: f"{data_dir}/p_month={m}" for m in months}, job_id
+            coarser, {m: f"{data_dir}/p_month={m}" for m in months}, job_id,
+            base=cur,
         )
         self._log_job_from_data(coarser, job_id)
         return months
@@ -607,20 +688,27 @@ class AggregateStore:
         return True
 
     def _log_job_from_data(self, tier: str, job_id: str) -> None:
-        """Append manifest rows for a committed job by reading its own
-        immutable data directory (idempotent source: replaying produces the
-        same rows; used both on the happy path and when healing a crash
-        between snapshot commit and manifest append)."""
-        data_dir = self.data_path(tier, job_id)
-        if not os.path.isdir(data_dir):
-            # the job's data was superseded AND collected by gc before the
-            # manifest healed (possible only for long-dead jobs replayed
-            # past the gc horizon) — the lineage row is unrecoverable;
-            # skip rather than crash the replay no-op
+        """Append manifest rows for a committed job: the POST-state of every
+        month the job's snapshot added or changed, read through that PINNED
+        version (r6 — deterministic and replay-idempotent even under
+        merge-on-read, where the job's own dir holds only a delta; the
+        lineage contract is that each job logs its months' post-state). If
+        the job's snapshot or its diff base was already expired by
+        :meth:`gc` before a crash-heal got here, the lineage row is
+        unrecoverable — skip rather than crash the replay no-op."""
+        v = self.version_of_job(tier, job_id)
+        if v is None:
+            return
+        try:
+            d = self.snapshot_diff(tier, v - 1, v)
+            months = sorted(set(d["added"]) | set(d["changed"]))
+            if not months:
+                return
+            df = self.read_tier(tier, months=months, version=v)
+        except FileNotFoundError:
             return
         stats = (
-            self.spark.read.parquet(data_dir)
-            .groupBy("p_month")
+            df.groupBy("p_month")
             .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("n_seq").alias("sum_n_seq"))
             .collect()
         )
@@ -640,28 +728,43 @@ class AggregateStore:
         job_id: str | None = None,
     ) -> list[str]:
         """Rewrite month-partitions into ``target_files`` coalesced files
-        each (Iceberg's ``rewrite_data_files``): streaming/incremental
-        merges leave one small parquet set per batch, and at scale the read
-        amplification of thousands of tiny files dominates scan cost. The
+        each (Iceberg's ``rewrite_data_files``). Under merge-on-read (r6)
+        this is ALSO where a month's delta stack folds back into one base
+        dir: the read recombines base + deltas, the rewrite persists the
+        recombined rows, and the snapshot entry collapses to a single dir —
+        bounding both small-file read amplification and stack depth. The
         rewrite follows the store's one commit discipline — rows are read
-        through the current snapshot, written to a NEW immutable job dir,
-        and published by a single snapshot re-point; the superseded dirs
-        become unreferenced and are collected by :meth:`gc`. Value-neutral
-        by construction (same rows, new layout). Returns compacted months."""
+        through a PINNED snapshot, written to a NEW immutable job dir, and
+        published by a single snapshot re-point whose CAS base is that same
+        pinned snapshot; the superseded dirs become unreferenced and are
+        collected by :meth:`gc`. Value-neutral by construction (same rows,
+        new layout). Returns compacted months.
+
+        Replay: a ``job_id`` that already committed no-ops and returns []
+        REGARDLESS of the ``months`` argument — reusing a job id with a
+        different month set does not compact the extra months (moot on the
+        default path, which generates a fresh id per call).
+
+        Concurrency: an incremental merge (or any commit) landing between
+        the pinned read and this commit makes the commit fail loudly with
+        FileExistsError — the compaction would otherwise erase the
+        interleaved merge's delta from the re-pointed months. On a CAS loss
+        simply call :meth:`compact` again (fresh job_id): the retry reads
+        the post-merge snapshot and folds the new delta too."""
         job_id = self._check_job_id(
             job_id or f"compact-{uuid.uuid4().hex[:8]}")
         # plain replay check, not _reconcile_replayed: compaction is
         # layout-only and deliberately writes no lineage manifest rows
         if job_id in self.committed_job_ids(tier):
             return []
-        current = self.current_snapshot(tier)["partitions"]
-        todo = sorted(current if months is None else
-                      [m for m in months if m in current])
+        cur = self.current_snapshot(tier)
+        todo = sorted(cur["partitions"] if months is None else
+                      [m for m in months if m in cur["partitions"]])
         if not todo:
             return []
-        df = self.read_tier(tier, months=todo).withColumn(
-            "p_month", F.date_format("bucket", "yyyy-MM")
-        )
+        df = self.read_tier(
+            tier, months=todo, version=cur["version"]
+        ).withColumn("p_month", F.date_format("bucket", "yyyy-MM"))
         data_dir = self.data_path(tier, job_id)
         # hash-partition so each month's rows land in one task (one output
         # file per month-dir); target_files > 1 spreads by source too
@@ -671,7 +774,8 @@ class AggregateStore:
             .write.mode("overwrite").partitionBy("p_month").parquet(data_dir)
         )
         self._commit_snapshot(
-            tier, {m: f"{data_dir}/p_month={m}" for m in todo}, job_id
+            tier, {m: f"{data_dir}/p_month={m}" for m in todo}, job_id,
+            base=cur,
         )
         return todo
 
@@ -708,13 +812,15 @@ class AggregateStore:
             r["p_month"]
             for r in self.verify_cascade(tier, coarser).filter("ok").collect()
         }
-        current = self.current_snapshot(tier)["partitions"]
+        cur = self.current_snapshot(tier)
         dropped = sorted(
-            m for m in current if m < keep_months_after and m in verified
+            m for m in cur["partitions"]
+            if m < keep_months_after and m in verified
         )
         if dropped:
             self._commit_snapshot(
-                tier, {m: None for m in dropped}, f"retention-{uuid.uuid4().hex[:8]}"
+                tier, {m: None for m in dropped},
+                f"retention-{uuid.uuid4().hex[:8]}", base=cur,
             )
         return dropped
 
@@ -760,9 +866,10 @@ class AggregateStore:
         n_live_refs = 0
         for v in keep_versions:
             with open(f"{self.snapshots_path(tier)}/v{v}.json") as fh:
-                for d in json.load(fh)["partitions"].values():
-                    n_live_refs += 1
-                    live.add(os.path.realpath(self._resolve(d)))
+                for entry in json.load(fh)["partitions"].values():
+                    for d in self._entry_dirs(entry):  # stacks: every dir live
+                        n_live_refs += 1
+                        live.add(os.path.realpath(self._resolve(d)))
         base = f"{self.root}/data/{tier}"
         candidates: list[str] = []
         if os.path.isdir(base):

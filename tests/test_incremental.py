@@ -48,6 +48,62 @@ def test_incremental_idempotent_on_retry(spark, split_data, tmp_path):
     assert _rows(store.read_tier("1h")) == before
 
 
+def _tree_bytes(path):
+    import os
+
+    return sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path) for f in fs
+    )
+
+
+def test_incremental_merge_writes_o_delta_not_o_month(spark, tmp_path):
+    """Merge-on-read (r6): a second merge into an EXISTING hot month writes
+    only the delta's bytes — never a rewrite of the month. Verified three
+    ways: (a) the job dir's parquet rows equal the delta's tier rows, not
+    the month's; (b) the month's snapshot entry is a STACK with the base and
+    both deltas appended in order; (c) the recombined read still equals a
+    from-scratch rollup."""
+    import os
+
+    full = synth_tokens(spark, 6000, max_ntok=64)
+    base = full.filter("id % 4 != 0")
+    d1 = full.filter("id % 8 = 0")
+    d2 = full.filter("id % 8 = 4")
+    store = AggregateStore(spark, str(tmp_path / "mor"))
+    store.build_tier("1h", base, job_id="j-base")
+    base_rows = store.read_tier("1h").count()
+
+    store.incremental_update("1h", d1, job_id="j-d1")
+    store.incremental_update("1h", d2, job_id="j-d2")
+    for jid, delta in (("j-d1", d1), ("j-d2", d2)):
+        job_dir = store.data_path("1h", jid)
+        n_written = spark.read.parquet(job_dir).count()
+        n_delta_tier = rollup_from_raw(delta, "1h").count()
+        assert n_written == n_delta_tier  # (a) wrote the delta, nothing else
+        assert n_written < base_rows / 2
+        # and byte-wise the job dir is small relative to the base build
+        assert _tree_bytes(job_dir) < _tree_bytes(store.data_path("1h", "j-base"))
+    # (b) hot months hold ordered stacks [base, d1, d2]
+    parts = store.current_snapshot("1h")["partitions"]
+    stacked = [m for m, e in parts.items() if isinstance(e, list)]
+    assert stacked
+    hot = max(stacked, key=lambda m: len(parts[m]))
+    jobs_in_order = [d.split("/")[2] for d in parts[hot]]
+    assert jobs_in_order[0] == "j-base"
+    assert jobs_in_order[1:] == [
+        j for j in ("j-d1", "j-d2")
+        if os.path.isdir(f"{store.data_path('1h', j)}/p_month={hot}")
+    ]
+    # (c) the recombined read is exact
+    assert _rows(store.read_tier("1h")) == _rows(rollup_from_raw(full, "1h"))
+    # compact folds the stacks back to single-dir entries, value-neutrally
+    store.compact("1h")
+    parts2 = store.current_snapshot("1h")["partitions"]
+    assert all(isinstance(e, str) for e in parts2.values())
+    assert _rows(store.read_tier("1h")) == _rows(rollup_from_raw(full, "1h"))
+
+
 def test_streaming_availablenow_refresh(spark, tmp_path):
     inp = str(tmp_path / "in")
     full = synth_tokens(spark, 3000, max_ntok=64)
@@ -143,11 +199,11 @@ def test_incremental_crash_before_pointer_commit_is_invisible(
     real_commit = AggregateStore._commit_snapshot
     calls = {"n": 0}
 
-    def crashing_commit(self, tier, updates, job_id):
+    def crashing_commit(self, tier, updates, job_id, base=None):
         calls["n"] += 1
         if calls["n"] == 1:
             raise RuntimeError("simulated crash before pointer commit")
-        return real_commit(self, tier, updates, job_id)
+        return real_commit(self, tier, updates, job_id, base=base)
 
     monkeypatch.setattr(AggregateStore, "_commit_snapshot", crashing_commit)
     with pytest.raises(RuntimeError):
@@ -157,10 +213,11 @@ def test_incremental_crash_before_pointer_commit_is_invisible(
     months = store.incremental_update("1h", delta, job_id="batch-10")
     assert months
     assert _rows(store.read_tier("1h")) == want
-    # gc collects the superseded pre-merge partitions (the replay reused and
-    # overwrote its own never-referenced crashed dir) and reads stay correct
+    # merge-on-read supersedes NOTHING (the delta appends to the stack; the
+    # replay reused and overwrote its own never-referenced crashed dir), so
+    # gc has no garbage to collect and reads stay correct
     removed = store.gc("1h", min_age_seconds=0)
-    assert removed
+    assert removed == []
     assert _rows(store.read_tier("1h")) == want
 
 
