@@ -438,3 +438,68 @@ def test_streaming_cascade_crash_between_merge_and_refresh_heals(spark, tmp_path
     assert store.cascade_refresh("1h", "1d", since_version=base1 - 1,
                                  job_id="stream-1d-1") == []
     assert _rows(store.read_tier("1d")) == _rows(rollup_from_raw(full, "1d"))
+
+
+def test_build_tier_path_discovery_zero_row_noop_resume(spark, tmp_path):
+    """Metadata-level resume discovery (r6, VERDICT r5 #4): over a
+    date-partitioned parquet source, candidate months come off the file
+    PATHS, so (a) a fresh build pays exactly ONE full-aggregation pass (no
+    slim discovery scan at all) and (b) a no-op resume reads ZERO data rows
+    (accumulator spy; the r5 slim scan was still O(input) per resume)."""
+    n = 1200
+    raw = synth_tokens(spark, n, max_ntok=16)
+    inp = str(tmp_path / "ptok")
+    raw.withColumn(
+        "p_month", F.date_format("ts", "yyyy-MM")
+    ).write.partitionBy("p_month").parquet(inp)
+    src = spark.read.parquet(inp).drop("p_month")
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    spied = src.mapInPandas(counting, src.schema)
+    assert spied.inputFiles()  # the spy preserves the file-scan relation
+    store = AggregateStore(spark, str(tmp_path / "pstore"))
+    built = store.build_tier("1d", spied)
+    assert built > 0
+    assert acc.value == n          # ONE full pass; no discovery scan
+    assert store.build_tier("1d", spied) == 0
+    assert acc.value == n          # no-op resume: ZERO rows read
+    # the cascade reads the store's own p_month-partitioned layout, so the
+    # coarser tier gets path discovery for free too
+    built_mo = store.build_tier("1mo", store.read_tier("1d"), from_tier="1d")
+    assert built_mo > 0
+    assert store.build_tier("1mo", store.read_tier("1d"), from_tier="1d") == 0
+    assert acc.value == n
+
+
+def test_build_tier_path_vs_scan_discovery_equivalence(spark, tmp_path):
+    """Partitioned (path-discovered) and unpartitioned (slim-scan) builds of
+    the same rows must produce identical stores: same committed months, same
+    tier rows, same manifest mass."""
+    raw = synth_tokens(spark, 1500, max_ntok=16)
+    inp = str(tmp_path / "ptok2")
+    raw.withColumn(
+        "p_day", F.to_date("ts")
+    ).coalesce(2).write.partitionBy("p_day").parquet(inp)
+    part_src = spark.read.parquet(inp).drop("p_day")
+
+    s_path = AggregateStore(spark, str(tmp_path / "st_path"))
+    s_scan = AggregateStore(spark, str(tmp_path / "st_scan"))
+    n_path = s_path.build_tier("1d", part_src)
+    n_scan = s_scan.build_tier("1d", raw)  # in-memory: scan fallback
+    assert n_path == n_scan > 0
+    assert sorted(s_path.current_snapshot("1d")["partitions"]) == sorted(
+        s_scan.current_snapshot("1d")["partitions"]
+    )
+    assert _rows(s_path.read_tier("1d")) == _rows(s_scan.read_tier("1d"))
+    # week buckets can cross month boundaries: path discovery must decline
+    assert AggregateStore._months_from_input_files(part_src, "1w") is None
+    assert AggregateStore._months_from_input_files(part_src, "1d") is not None
+    # opt-out flag forces the scan fallback and produces the same store
+    s_off = AggregateStore(spark, str(tmp_path / "st_off"))
+    assert s_off.build_tier("1d", part_src, discover_from_paths=False) == n_path
+    assert _rows(s_off.read_tier("1d")) == _rows(s_path.read_tier("1d"))
