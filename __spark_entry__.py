@@ -728,21 +728,60 @@ def q_store_incremental_scan(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _link_or_copy(src: str, dst: str) -> None:
+    """Expose a testdata file inside a stream-source dir: symlink when the
+    platform allows (zero copy), else a real copy (ADVICE r5 — symlinks can
+    be unavailable on some filesystems; this is test-scale data)."""
+    import shutil
+
+    try:
+        os.symlink(os.path.realpath(src), dst)
+    except OSError:
+        shutil.copy(os.path.realpath(src), dst)
+
+
+def _stage_stream_source(path: str, src_dir: str) -> None:
+    """The file stream source requires a DIRECTORY of data files; testdata
+    tables may be a single parquet file or a directory of part files —
+    stage whichever shape into ``src_dir``."""
+    os.makedirs(src_dir, exist_ok=True)
+    if os.path.isdir(path):
+        n = 0
+        for entry in sorted(os.listdir(path)):
+            if entry.endswith(".parquet"):
+                _link_or_copy(f"{path}/{entry}", f"{src_dir}/{n:04d}.parquet")
+                n += 1
+    else:
+        _link_or_copy(path, f"{src_dir}/0000.parquet")
+
+
 def q_streaming_windows(spark, sf_dir):
-    """Structured Streaming under the driver hash gate (r5): REAL streaming
-    execution — file-source readStream over events.parquet, event-time
-    window aggregation, AvailableNow trigger, complete-mode memory sink —
-    for both a tumbling 1h window and a sliding 1h/30min window (each its
-    own streaming query: Spark allows one stateful aggregation per query).
-    The oracle recomputes both from plain batch SQL (an event at t belongs
-    to sliding windows starting floor30(t) and floor30(t)-30min), so the
-    micro-batch pipeline must agree with the declarative semantics exactly.
-    Integer accumulators only (counts, id sums) and epoch-seconds window
-    keys — repo oracle-exactness rules. Checkpoints are throwaway tmp dirs;
-    results are materialized before cleanup. Complete-mode + memory sink is
-    the right shape for this bounded parity probe ONLY — the production
-    path at scale is append mode + watermark (windowed_counts_stream),
-    where the state store stays bounded by window finalization."""
+    """Structured Streaming under the driver hash gate (r5; session leg r6):
+    REAL streaming execution — file-source readStream over events.parquet,
+    event-time aggregation, AvailableNow trigger, memory sink — for THREE
+    probes, each its own streaming query (Spark allows one stateful
+    aggregation per query):
+
+    * 'tumbling' — 1h windows, complete mode;
+    * 'sliding'  — 1h windows every 30min, complete mode;
+    * 'session'  — F.session_window(gap=30min) per user in APPEND mode with
+      a watermark, the production stateful shape: a session emits exactly
+      once the watermark passes its end, and the state store evicts it. The
+      source is staged as TWO micro-batches (maxFilesPerTrigger=1): the
+      real events, then a far-future sentinel row whose only job is to push
+      the watermark past every real session so all of them finalize (the
+      sentinel's own open session is never emitted and is filtered anyway).
+
+    The oracle recomputes all three from plain batch SQL — sliding: an
+    event at t belongs to windows floor30(t) and floor30(t)-30min; session:
+    gap-based sessionization with the boundary in EXACT integer
+    microseconds (epoch_us), mirroring session_window's merge rule
+    next_start - prev_ts >= gap. Integer accumulators and epoch-seconds
+    keys; columns absent from a probe are NULL on both engines
+    (unionByName(allowMissingColumns) ↔ UNION ALL with NULL casts).
+    Checkpoints are throwaway tmp dirs; results materialize before
+    cleanup."""
+    import datetime as dt
     import shutil
     import tempfile
     import uuid
@@ -751,11 +790,8 @@ def q_streaming_windows(spark, sf_dir):
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     tmp = tempfile.mkdtemp(prefix="ingestr_stream_ckpt_")
-    # the file stream source requires a DIRECTORY; the testdata table is a
-    # single parquet file — expose it through a symlink dir (zero copy)
     src_dir = f"{tmp}/events_src"
-    os.makedirs(src_dir)
-    os.symlink(os.path.realpath(path), f"{src_dir}/events.parquet")
+    _stage_stream_source(path, src_dir)
     try:
         frames = []
         for probe, win_args in (
@@ -794,7 +830,101 @@ def q_streaming_windows(spark, sf_dir):
             t = spark.table(name)
             frames.append(spark.createDataFrame(t.collect(), t.schema))
             spark.catalog.dropTempView(name)
-        return frames[0].unionByName(frames[1])
+
+        # ---- session probe: THREE-batch source so the watermark finalizes
+        # every real session (r6). The watermark computed from batch N's
+        # data evicts state only at batch N+1, so one sentinel is not
+        # enough: batch 1 = all real events (a multi-batch split would let
+        # the advancing watermark late-drop rows the batch oracle keeps —
+        # coalesce dir-shaped sources to ONE file), batch 2 = sentinel A
+        # (its max event time becomes the watermark that, at batch 3,
+        # finalizes every real session), batch 3 = sentinel B (exists only
+        # to trigger that eviction).
+        max_ts = spark.read.parquet(path).agg(F.max("ts")).collect()[0][0]
+        sess_src = f"{tmp}/events_sess_src"
+        _stage_stream_source(path, sess_src)
+        if len(os.listdir(sess_src)) > 1:
+            shutil.rmtree(sess_src)
+            staged = f"{tmp}/events_one_file"
+            spark.read.parquet(path).coalesce(1).write.parquet(staged)
+            os.makedirs(sess_src)
+            part = next(e for e in sorted(os.listdir(staged))
+                        if e.endswith(".parquet"))
+            shutil.copy(f"{staged}/{part}", f"{sess_src}/0000.parquet")
+        for i, days in enumerate((365, 366)):
+            d = f"{tmp}/sentinel_{i}"
+            spark.createDataFrame(
+                [(-1 - i, max_ts + dt.timedelta(days=days), -1 - i, "zz",
+                  0.0, "{}")],
+                schema,
+            ).coalesce(1).write.parquet(d)
+            part = next(e for e in sorted(os.listdir(d))
+                        if e.endswith(".parquet"))
+            shutil.copy(f"{d}/{part}", f"{sess_src}/zz_sent_{i}.parquet")
+        # deterministic batch order: the file source admits oldest mtime
+        # first. A symlinked event file reports its (old) target mtime; a
+        # copied one got stamped 'now' — back-date it. Never touch testdata.
+        import time as _time
+
+        now = _time.time()
+        for entry in os.listdir(sess_src):
+            p = f"{sess_src}/{entry}"
+            if entry.startswith("zz_sent_"):
+                os.utime(p, (now + 60 * int(entry[8]), now + 60 * int(entry[8])))
+            elif not os.path.islink(p):
+                os.utime(p, (now - 3600, now - 3600))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sess_src)
+        )
+        sess = (
+            # session_window rejects TIMESTAMP_NTZ event time; the session
+            # TZ is UTC, so the cast is a pure reinterpretation (same epoch).
+            # NO stream-side sentinel filter: a user_id predicate gets
+            # PUSHED DOWN to the parquet scan, prunes the sentinel files
+            # wholesale, and the watermark never sees their event times —
+            # sentinels are dropped from the materialized result instead
+            # (their own sessions never finalize, so they cannot emit).
+            stream.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "1 second")
+            .groupBy(F.session_window("ts", "30 minutes").alias("win"),
+                     "user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.min("event_id").alias("min_event_id"),
+                F.max("event_id").alias("max_event_id"),
+            )
+            .select(
+                F.lit("session").alias("probe"),
+                F.col("win.start").cast("timestamp").cast("long")
+                .alias("win_epoch"),
+                "user_id",
+                F.col("win.end").cast("timestamp").cast("long")
+                .alias("session_end_epoch"),
+                "n_events", "min_event_id", "max_event_id",
+            )
+        )
+        name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+        q = (
+            sess.writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/session")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        t = spark.table(name)
+        frames.append(
+            spark.createDataFrame(t.collect(), t.schema)
+            .filter("user_id >= 0")  # belt-and-braces sentinel drop (batch)
+        )
+        spark.catalog.dropTempView(name)
+
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -2959,18 +2959,41 @@ FROM (
 ) GROUP BY 2
 """
 
-# ---- Structured Streaming parity (r5) ---------------------------------------
+# ---- Structured Streaming parity (r5; session leg r6) -----------------------
 # Batch mirror of __spark_entry__.q_streaming_windows: the streaming
 # tumbling/sliding event-time window aggregates over `events`, recomputed
 # declaratively. Sliding semantics: an event at t belongs to every window
 # start s with s <= t < s + 1h and s on a 30-min boundary — i.e. floor30(t)
-# and floor30(t) - 30min. Integer accumulators, epoch window keys.
+# and floor30(t) - 30min. Session semantics (F.session_window, gap 30min):
+# a new session starts when the gap to the previous event is >= the gap
+# (Spark merges iff next_start < prev_end = prev_ts + gap), compared in
+# EXACT integer MICROSECONDS (epoch_us — a double epoch() could flip a
+# borderline gap by one ulp); session end = last event + gap; epoch-second
+# keys via floor division, matching Spark's timestamp->long floorDiv.
+# Integer accumulators; columns absent from a probe are NULL on both
+# engines. Probe column sets: tumbling/sliding carry event_type +
+# sum_user_id; session carries user_id + session_end_epoch.
 STREAMING_WINDOWS = """WITH f30 AS (
   SELECT *,
          date_trunc('hour', ts)
            + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
                   ELSE INTERVAL 0 MINUTE END AS w0
   FROM events
+),
+sess_flag AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+         THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess_grp AS (
+  SELECT user_id, ts, event_id,
+    SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS sid
+  FROM sess_flag
 )
 SELECT 'tumbling' AS probe,
        CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_epoch,
@@ -2978,7 +3001,9 @@ SELECT 'tumbling' AS probe,
        COUNT(*) AS n_events,
        CAST(SUM(user_id) AS BIGINT) AS sum_user_id,
        MIN(event_id) AS min_event_id,
-       MAX(event_id) AS max_event_id
+       MAX(event_id) AS max_event_id,
+       CAST(NULL AS BIGINT) AS user_id,
+       CAST(NULL AS BIGINT) AS session_end_epoch
 FROM events GROUP BY 2, 3
 UNION ALL
 SELECT 'sliding' AS probe,
@@ -2987,10 +3012,24 @@ SELECT 'sliding' AS probe,
        COUNT(*) AS n_events,
        CAST(SUM(user_id) AS BIGINT) AS sum_user_id,
        MIN(event_id) AS min_event_id,
-       MAX(event_id) AS max_event_id
+       MAX(event_id) AS max_event_id,
+       CAST(NULL AS BIGINT) AS user_id,
+       CAST(NULL AS BIGINT) AS session_end_epoch
 FROM (
   SELECT w0 AS win_start, * FROM f30
   UNION ALL
   SELECT w0 - INTERVAL 30 MINUTE AS win_start, * FROM f30
 ) GROUP BY 2, 3
+UNION ALL
+SELECT 'session' AS probe,
+       CAST(epoch_us(MIN(ts)) // 1000000 AS BIGINT) AS win_epoch,
+       CAST(NULL AS VARCHAR) AS event_type,
+       COUNT(*) AS n_events,
+       CAST(NULL AS BIGINT) AS sum_user_id,
+       MIN(event_id) AS min_event_id,
+       MAX(event_id) AS max_event_id,
+       user_id,
+       CAST((epoch_us(MAX(ts)) + 1800000000) // 1000000 AS BIGINT)
+         AS session_end_epoch
+FROM sess_grp GROUP BY user_id, sid
 """
