@@ -78,6 +78,12 @@ HEADLINE = [
     # rule-mandated component whose perf regressions the per-round bench
     # diff couldn't previously see — time its full encode+decode+verify path
     "codec_roundtrip_1d",
+    # r6 (VERDICT r5 #7): the store-maintenance lifecycle (build -> merge-
+    # on-read incremental_update -> compact fold, plus the four snapshot
+    # probes) timed per round so maintenance-path regressions show up in
+    # the BENCH diff before they ship. Newly timed — the headline total is
+    # not 1:1 comparable to r5's.
+    "store_incremental_scan",
 ]
 
 

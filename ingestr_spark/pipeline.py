@@ -69,6 +69,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="like --compact but rewrite EVERY month of every "
                         "tier — one-off defragmentation of a store built "
                         "before compaction existed")
+    p.add_argument("--fold-depth", type=int, default=16,
+                   help="with --stream: after the drain, fold (compact) any "
+                        "month whose merge-on-read dir stack exceeds this "
+                        "depth, bounding read amplification of hot months; "
+                        "0 disables (rely on explicit --compact)")
     p.add_argument("--stream", action="store_true",
                    help="maintain the store with Structured Streaming "
                         "(file-source readStream + AvailableNow) instead of "
@@ -93,6 +98,7 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.input, args.store,
             f"{args.store}/_stream_checkpoint",
             tiers=tuple(tiers), cascade=True,
+            fold_depth=args.fold_depth or None,
         )
         built = {
             t: store.current_snapshot(t)["version"] - pre_versions[t]

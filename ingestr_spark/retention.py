@@ -846,6 +846,30 @@ class AggregateStore:
         )
         return todo
 
+    def fold_hot_stacks(
+        self, tier: str, max_depth: int = 16, job_id: str | None = None
+    ) -> list[str]:
+        """Bound merge-on-read READ amplification: compact exactly the
+        months whose snapshot dir stack is deeper than ``max_depth``. At
+        streaming cadence the hot current month takes one delta dir per
+        micro-batch; without a bound its recombine read grows linearly
+        between full compactions. Calling this after each drain (the
+        streaming sink does, see ``refresh_store_availablenow``) keeps
+        every month's stack ≤ max_depth + 1 while paying the fold only
+        O(1/max_depth) of the time — the amortized write stays O(delta ×
+        (1 + tier_month/(max_depth·delta))), Iceberg's file-count-triggered
+        rewrite policy. Value-neutral (it IS :meth:`compact`); a CAS loss
+        to a concurrent committer raises FileExistsError — safe to skip and
+        retry at the next cadence. Returns the folded months."""
+        parts = self.current_snapshot(tier)["partitions"]
+        deep = sorted(
+            m for m, e in parts.items()
+            if len(self._entry_dirs(e)) > max_depth
+        )
+        if not deep:
+            return []
+        return self.compact(tier, months=deep, job_id=job_id)
+
     # ---- verification + retention ----------------------------------------
     def verify_cascade(self, finer: str, coarser: str) -> DataFrame:
         """Month-level check that the coarser tier conserves the finer tier's

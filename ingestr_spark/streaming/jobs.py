@@ -43,6 +43,7 @@ def refresh_store_availablenow(
     schema=None,
     tiers: tuple[str, ...] = ("1h",),
     cascade: bool = False,
+    fold_depth: int | None = 16,
 ) -> None:
     """Drain all unprocessed input files into the aggregate store, then stop.
 
@@ -61,6 +62,12 @@ def refresh_store_availablenow(
     merge no-ops, but the diff base still predates it, so the missed
     refresh runs; a fully-applied batch replays as all no-ops via the
     per-tier job ids.
+
+    ``fold_depth`` (r6): merges are MERGE-ON-READ (one delta dir appended
+    per batch), so after each drain any month whose stack grew past this
+    depth is folded back to one dir (:meth:`AggregateStore.fold_hot_stacks`)
+    — the hot current month's read amplification stays bounded no matter
+    how long the stream runs. None disables (rely on explicit --compact).
     """
     if schema is None:
         schema = spark.read.parquet(input_path).schema  # StructType, not DDL
@@ -99,6 +106,12 @@ def refresh_store_availablenow(
         .start()
     )
     q.awaitTermination()
+    if fold_depth is not None:
+        # post-drain maintenance, outside the sink: folding once per DRAIN
+        # (not per batch) amortizes the rewrite and cannot interleave with
+        # this driver's own in-flight merges
+        for tier in tiers:
+            store.fold_hot_stacks(tier, max_depth=fold_depth)
 
 
 def stateful_locf_stream(

@@ -503,3 +503,29 @@ def test_build_tier_path_vs_scan_discovery_equivalence(spark, tmp_path):
     s_off = AggregateStore(spark, str(tmp_path / "st_off"))
     assert s_off.build_tier("1d", part_src, discover_from_paths=False) == n_path
     assert _rows(s_off.read_tier("1d")) == _rows(s_path.read_tier("1d"))
+
+
+def test_fold_hot_stacks_bounds_depth(spark, tmp_path):
+    """r6: a hot month taking one merge-on-read delta per batch must have
+    its stack folded once it exceeds max_depth — values stay exact and the
+    folded months collapse to single-dir entries; shallow months are left
+    alone (the fold costs only the DEEP months)."""
+    full = synth_tokens(spark, 2400, max_ntok=16)
+    slices = [full.filter(f"id % 6 = {k}") for k in range(6)]
+    store = AggregateStore(spark, str(tmp_path / "fold"))
+    store.build_tier("1h", slices[0])
+    for i, sl in enumerate(slices[1:], 1):
+        store.incremental_update("1h", sl, job_id=f"fb-{i}")
+    parts = store.current_snapshot("1h")["partitions"]
+    depth = {m: len(AggregateStore._entry_dirs(e)) for m, e in parts.items()}
+    assert max(depth.values()) == 6  # base + 5 deltas
+    assert store.fold_hot_stacks("1h", max_depth=8) == []  # nothing deep
+    folded = store.fold_hot_stacks("1h", max_depth=3)
+    assert folded == sorted(m for m, d in depth.items() if d > 3)
+    parts2 = store.current_snapshot("1h")["partitions"]
+    for m in folded:
+        assert isinstance(parts2[m], str)
+    for m, e in parts2.items():
+        if m not in folded:
+            assert e == parts[m]  # shallow months untouched
+    assert _rows(store.read_tier("1h")) == _rows(rollup_from_raw(full, "1h"))
