@@ -756,11 +756,11 @@ def _stage_stream_source(path: str, src_dir: str) -> None:
 
 
 def q_streaming_windows(spark, sf_dir):
-    """Structured Streaming under the driver hash gate (r5; session leg r6):
-    REAL streaming execution — file-source readStream over events.parquet,
-    event-time aggregation, AvailableNow trigger, memory sink — for THREE
-    probes, each its own streaming query (Spark allows one stateful
-    aggregation per query):
+    """Structured Streaming under the driver hash gate (r5; session +
+    locf_state legs r6): REAL streaming execution — file-source readStream
+    over events.parquet, event-time aggregation, AvailableNow trigger,
+    memory sink — for FOUR probes, each its own streaming query (Spark
+    allows one stateful aggregation per query):
 
     * 'tumbling' — 1h windows, complete mode;
     * 'sliding'  — 1h windows every 30min, complete mode;
@@ -770,14 +770,23 @@ def q_streaming_windows(spark, sf_dir):
       source is staged as TWO micro-batches (maxFilesPerTrigger=1): the
       real events, then a far-future sentinel row whose only job is to push
       the watermark past every real session so all of them finalize (the
-      sentinel's own open session is never emitted and is filtered anyway).
+      sentinel's own open session is never emitted and is filtered anyway);
+    * 'locf_state' — the CUSTOM stateful operator path
+      (applyInPandasWithState, streaming/jobs.stateful_locf_stream):
+      per-event-type LOCF whose (last_value, last_ts) state crosses a real
+      micro-batch boundary (two ts-split batches), so the state store's
+      carry — not a window over one batch — produces the fill and the
+      cross-boundary gap_seconds.
 
-    The oracle recomputes all three from plain batch SQL — sliding: an
+    The oracle recomputes all four from plain batch SQL — sliding: an
     event at t belongs to windows floor30(t) and floor30(t)-30min; session:
     gap-based sessionization with the boundary in EXACT integer
     microseconds (epoch_us), mirroring session_window's merge rule
-    next_start - prev_ts >= gap. Integer accumulators and epoch-seconds
-    keys; columns absent from a probe are NULL on both engines
+    next_start - prev_ts >= gap; locf_state: last_value IGNORE NULLS over
+    a (ts, event_id)-ordered window per key, because batch LOCF over the
+    whole table equals streaming LOCF exactly when batches split in event-
+    time order. Integer accumulators and epoch-seconds keys; columns
+    absent from a probe are NULL on both engines
     (unionByName(allowMissingColumns) ↔ UNION ALL with NULL casts).
     Checkpoints are throwaway tmp dirs; results materialize before
     cleanup."""
@@ -919,6 +928,77 @@ def q_streaming_windows(spark, sf_dir):
             spark.createDataFrame(t.collect(), t.schema)
             .filter("user_id >= 0")  # belt-and-braces sentinel drop (batch)
         )
+        spark.catalog.dropTempView(name)
+
+        # ---- locf_state probe: applyInPandasWithState under the hash gate
+        # (r6 — the last streaming surface verified only by pytest). The
+        # source is split into TWO ts-ordered micro-batches at the floored-
+        # second midpoint, so the per-key (last_value, last_ts) state
+        # genuinely crosses a batch boundary and the cross-boundary
+        # gap_seconds comes from the STATE STORE, not from a window over
+        # one batch. Value nulls are derived deterministically
+        # (event_id % 7 = 0); LOCF copies parquet doubles bit-identically;
+        # both engines floor timestamps to whole epoch seconds BEFORE
+        # differencing and order ties by (exact event time, event_id).
+        from ingestr_spark.streaming.jobs import stateful_locf_stream
+
+        ev = spark.read.parquet(path)
+        mn_s, mx_s = ev.agg(
+            F.min(F.col("ts").cast("timestamp").cast("long")),
+            F.max(F.col("ts").cast("timestamp").cast("long")),
+        ).collect()[0]
+        mid_s = (mn_s + mx_s) // 2
+        locf_src = f"{tmp}/events_locf_src"
+        os.makedirs(locf_src)
+        halves = (
+            F.col("ts").cast("timestamp").cast("long") <= F.lit(mid_s),
+            F.col("ts").cast("timestamp").cast("long") > F.lit(mid_s),
+        )
+        for i, pred in enumerate(halves):
+            d = f"{tmp}/locf_half_{i}"
+            ev.filter(pred).coalesce(1).write.parquet(d)
+            part = next(e for e in sorted(os.listdir(d))
+                        if e.endswith(".parquet"))
+            dst = f"{locf_src}/{i:04d}.parquet"
+            shutil.copy(f"{d}/{part}", dst)
+            os.utime(dst, (now + 60 * i, now + 60 * i))  # batch order
+        locf_in = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(locf_src)
+            # NTZ → timestamp is a pure reinterpretation (UTC session)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withColumn(
+                "v",
+                F.when(F.col("event_id") % 7 == 0,
+                       F.lit(None).cast("double"))
+                .otherwise(F.col("value")),
+            )
+            .select("event_type", "ts", "v", "event_id")
+        )
+        locf = stateful_locf_stream(
+            locf_in, value_col="v", key="event_type", ts_col="ts",
+            tiebreak="event_id",
+        ).select(
+            F.lit("locf_state").alias("probe"),
+            "event_type",
+            "event_id",
+            F.col("ts").cast("long").alias("ts_epoch"),
+            F.col("v").alias("val_locf"),
+            F.col("filled").cast("long").alias("filled_int"),
+            "gap_seconds",
+        )
+        name = f"stream_locf_{uuid.uuid4().hex[:8]}"
+        q = (
+            locf.writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/locf")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        t = spark.table(name)
+        frames.append(spark.createDataFrame(t.collect(), t.schema))
         spark.catalog.dropTempView(name)
 
         out = frames[0]

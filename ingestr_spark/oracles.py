@@ -2994,6 +2994,26 @@ sess_grp AS (
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       AS sid
   FROM sess_flag
+),
+locf_src AS (
+  -- locf_state mirror (r6): same deterministic null derivation as the
+  -- stream side (event_id % 7); ordering ties broken by (exact event
+  -- time, event_id), exactly the applyInPandasWithState sort; timestamps
+  -- floored to whole epoch seconds BEFORE differencing on both engines
+  SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+    CASE WHEN event_id % 7 = 0 THEN CAST(NULL AS DOUBLE) ELSE value END AS v
+  FROM events
+),
+locf AS (
+  SELECT event_type, event_id,
+    CAST(ts_us // 1000000 AS BIGINT) AS ts_epoch,
+    last_value(v IGNORE NULLS) OVER w AS val_locf,
+    CAST(v IS NULL AS BIGINT) AS filled_int,
+    CAST(ts_us // 1000000 - (lag(ts_us) OVER w) // 1000000 AS BIGINT)
+      AS gap_seconds
+  FROM locf_src
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT 'tumbling' AS probe,
        CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_epoch,
@@ -3003,7 +3023,12 @@ SELECT 'tumbling' AS probe,
        MIN(event_id) AS min_event_id,
        MAX(event_id) AS max_event_id,
        CAST(NULL AS BIGINT) AS user_id,
-       CAST(NULL AS BIGINT) AS session_end_epoch
+       CAST(NULL AS BIGINT) AS session_end_epoch,
+       CAST(NULL AS BIGINT) AS event_id,
+       CAST(NULL AS BIGINT) AS ts_epoch,
+       CAST(NULL AS DOUBLE) AS val_locf,
+       CAST(NULL AS BIGINT) AS filled_int,
+       CAST(NULL AS BIGINT) AS gap_seconds
 FROM events GROUP BY 2, 3
 UNION ALL
 SELECT 'sliding' AS probe,
@@ -3014,7 +3039,12 @@ SELECT 'sliding' AS probe,
        MIN(event_id) AS min_event_id,
        MAX(event_id) AS max_event_id,
        CAST(NULL AS BIGINT) AS user_id,
-       CAST(NULL AS BIGINT) AS session_end_epoch
+       CAST(NULL AS BIGINT) AS session_end_epoch,
+       CAST(NULL AS BIGINT) AS event_id,
+       CAST(NULL AS BIGINT) AS ts_epoch,
+       CAST(NULL AS DOUBLE) AS val_locf,
+       CAST(NULL AS BIGINT) AS filled_int,
+       CAST(NULL AS BIGINT) AS gap_seconds
 FROM (
   SELECT w0 AS win_start, * FROM f30
   UNION ALL
@@ -3030,6 +3060,23 @@ SELECT 'session' AS probe,
        MAX(event_id) AS max_event_id,
        user_id,
        CAST((epoch_us(MAX(ts)) + 1800000000) // 1000000 AS BIGINT)
-         AS session_end_epoch
+         AS session_end_epoch,
+       CAST(NULL AS BIGINT) AS event_id,
+       CAST(NULL AS BIGINT) AS ts_epoch,
+       CAST(NULL AS DOUBLE) AS val_locf,
+       CAST(NULL AS BIGINT) AS filled_int,
+       CAST(NULL AS BIGINT) AS gap_seconds
 FROM sess_grp GROUP BY user_id, sid
+UNION ALL
+SELECT 'locf_state' AS probe,
+       CAST(NULL AS BIGINT) AS win_epoch,
+       event_type,
+       CAST(NULL AS BIGINT) AS n_events,
+       CAST(NULL AS BIGINT) AS sum_user_id,
+       CAST(NULL AS BIGINT) AS min_event_id,
+       CAST(NULL AS BIGINT) AS max_event_id,
+       CAST(NULL AS BIGINT) AS user_id,
+       CAST(NULL AS BIGINT) AS session_end_epoch,
+       event_id, ts_epoch, val_locf, filled_int, gap_seconds
+FROM locf
 """

@@ -793,6 +793,7 @@ class AggregateStore:
         months: list[str] | None = None,
         target_files: int = 1,
         job_id: str | None = None,
+        sort_by: tuple[str, ...] | None = ("source", "bucket"),
     ) -> list[str]:
         """Rewrite month-partitions into ``target_files`` coalesced files
         each (Iceberg's ``rewrite_data_files``). Under merge-on-read (r6)
@@ -817,7 +818,16 @@ class AggregateStore:
         FileExistsError — the compaction would otherwise erase the
         interleaved merge's delta from the re-pointed months. On a CAS loss
         simply call :meth:`compact` again (fresh job_id): the retry reads
-        the post-merge snapshot and folds the new delta too."""
+        the post-merge snapshot and folds the new delta too.
+
+        ``sort_by`` (r6, Iceberg SORT ORDER parity): rewritten files are
+        sorted within each output task — by default ``(source, bucket)``,
+        so each source's rows land contiguously and parquet row-group /
+        page min-max stats prune a source-filtered read (the reference's
+        whole access pattern is by-site series). Merge deltas arrive in
+        shuffle order, so clustering decays between compactions and is
+        restored here — exactly where Iceberg applies its table sort
+        order. ``None`` skips the sort."""
         job_id = self._check_job_id(
             job_id or f"compact-{uuid.uuid4().hex[:8]}")
         # plain replay check, not _reconcile_replayed: compaction is
@@ -836,10 +846,10 @@ class AggregateStore:
         # hash-partition so each month's rows land in one task (one output
         # file per month-dir); target_files > 1 spreads by source too
         keys = ["p_month"] if target_files == 1 else ["p_month", "source"]
-        (
-            df.repartition(max(1, target_files * len(todo)), *keys)
-            .write.mode("overwrite").partitionBy("p_month").parquet(data_dir)
-        )
+        out = df.repartition(max(1, target_files * len(todo)), *keys)
+        if sort_by:
+            out = out.sortWithinPartitions("p_month", *sort_by)
+        out.write.mode("overwrite").partitionBy("p_month").parquet(data_dir)
         self._commit_snapshot(
             tier, {m: f"{data_dir}/p_month={m}" for m in todo}, job_id,
             base=cur,

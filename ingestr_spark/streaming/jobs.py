@@ -119,6 +119,7 @@ def stateful_locf_stream(
     value_col: str = "n_tok",
     key: str = "source",
     ts_col: str = "ts",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Custom STATEFUL streaming operator via ``applyInPandasWithState``:
     per-key last-observation-carried-forward across micro-batches.
@@ -133,7 +134,11 @@ def stateful_locf_stream(
 
     Rows inside one micro-batch are processed in event-time order; state is
     one (double, long) pair per key — O(keys) store, no unbounded growth,
-    so NoTimeout is safe.
+    so NoTimeout is safe. ``tiebreak`` (r6) names an extra long column that
+    breaks event-time ties (and is passed through to the output): without
+    it, two rows sharing a timestamp are LOCF'd in arrival order, which is
+    nondeterministic across partitionings — the driver hash gate needs a
+    total order.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -141,19 +146,23 @@ def stateful_locf_stream(
     out_schema = (
         f"{key} string, {ts_col} timestamp, {value_col} double, "
         "filled boolean, gap_seconds long"
+        + (f", {tiebreak} long" if tiebreak else "")
     )
     state_schema = "last_v double, last_ts long"
+    order_cols = [ts_col, tiebreak] if tiebreak else [ts_col]
 
     def fn(key_tuple, pdf_iter, state: GroupState):
         last_v, last_ts = state.get if state.exists else (None, None)
         frames = [p for p in pdf_iter if len(p)]
         if not frames:
-            yield pd.DataFrame(
-                {key: [], ts_col: pd.Series([], dtype="datetime64[ns]"),
-                 value_col: [], "filled": pd.Series([], dtype=bool),
-                 "gap_seconds": pd.Series([], dtype="int64")})
+            empty = {key: [], ts_col: pd.Series([], dtype="datetime64[ns]"),
+                     value_col: [], "filled": pd.Series([], dtype=bool),
+                     "gap_seconds": pd.Series([], dtype="int64")}
+            if tiebreak:
+                empty[tiebreak] = pd.Series([], dtype="int64")
+            yield pd.DataFrame(empty)
             return
-        pdf = pd.concat(frames).sort_values(ts_col)
+        pdf = pd.concat(frames).sort_values(order_cols)
         v = pdf[value_col].astype("float64")
         filled = v.isna()
         # vectorized LOCF with the carried state prepended as a sentinel
@@ -170,11 +179,14 @@ def stateful_locf_stream(
         new_last_v = v.dropna().iloc[-1] if v.notna().any() else last_v
         state.update((None if pd.isna(new_last_v) else float(new_last_v),
                       int(t.iloc[-1])))
-        yield pd.DataFrame({
+        out = {
             key: pdf[key].iloc[0], ts_col: pdf[ts_col].reset_index(drop=True),
             value_col: vals, "filled": filled.reset_index(drop=True),
             "gap_seconds": gaps,
-        })
+        }
+        if tiebreak:
+            out[tiebreak] = pdf[tiebreak].reset_index(drop=True)
+        yield pd.DataFrame(out)
 
     return raw_stream.groupBy(key).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout

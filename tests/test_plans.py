@@ -172,3 +172,20 @@ def test_rollup_tiers_union_reuses_1h_exchange(spark):
     df.collect()  # AQE reuse materializes in the FINAL adaptive plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ReusedExchange") >= 3, plan[:2000]
+
+
+def test_read_tier_compacted_fast_path_no_recombine(spark, tok, tmp_path):
+    """Merge-on-read read-path contract (r6): a store with ONLY single-dir
+    month entries (fresh build or post-compaction) must read via the direct
+    scan — no recombine aggregate in the plan; once a month holds a delta
+    stack, the plan gains exactly the same-grain hash aggregate, and after
+    compaction the fast path returns."""
+    from ingestr_spark.retention import AggregateStore
+
+    s = AggregateStore(spark, str(tmp_path / "fastpath"))
+    s.build_tier("1d", tok.filter("id % 2 = 0"))
+    assert "HashAggregate" not in _plan(s.read_tier("1d"))
+    s.incremental_update("1d", tok.filter("id % 2 = 1"))
+    assert "HashAggregate" in _plan(s.read_tier("1d"))
+    s.compact("1d")
+    assert "HashAggregate" not in _plan(s.read_tier("1d"))

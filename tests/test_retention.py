@@ -730,3 +730,61 @@ def test_compact_vs_merge_interleave_cas(spark, tok, tmp_path):
         .select("source", "bucket", "n_seq", "sum_n_tok").collect()
     )
     assert got3 == want3
+
+
+def test_compact_sort_order_clusters_sources(spark, tok, tmp_path):
+    """compact(sort_by=...) (r6, Iceberg SORT ORDER parity): rewritten month
+    files must be physically sorted by (source, bucket) so parquet
+    row-group / page min-max stats can prune a by-source read; merge deltas
+    arrive in shuffle order, so the pre-compaction layout is NOT sorted
+    (otherwise this asserts nothing). Value neutrality is covered by
+    test_compact_rewrites_small_files_value_neutral and the driver's
+    'compacted' hash probe."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    def month_files(s, tier):
+        out = []
+        for entry in s.current_snapshot(tier)["partitions"].values():
+            for d in s._entry_dirs(entry):
+                out += glob.glob(f"{s._resolve(d)}/*.parquet")
+        return out
+
+    def is_sorted_by_source_bucket(files):
+        for f in files:
+            t = pq.read_table(f, columns=["source", "bucket"])
+            keys = list(zip(t.column("source").to_pylist(),
+                            t.column("bucket").to_pylist()))
+            if keys != sorted(keys):
+                return False
+        return True
+
+    s = AggregateStore(spark, str(tmp_path / "store_sorted"))
+    s.build_tier("1d", tok.filter("id % 2 = 0"))
+    s.incremental_update("1d", tok.filter("id % 2 = 1"))
+    assert not is_sorted_by_source_bucket(month_files(s, "1d"))
+
+    months = s.compact("1d")
+    assert months
+    files = month_files(s, "1d")
+    assert files and is_sorted_by_source_bucket(files)
+    # when a file holds >1 row group the source ranges must not overlap
+    # (that non-overlap is exactly what lets the scan skip row groups)
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().names.index("source")
+        prev_max = None
+        for i in range(md.num_row_groups):
+            st = md.row_group(i).column(idx).statistics
+            assert st is not None and st.has_min_max
+            if prev_max is not None:
+                assert st.min >= prev_max
+            prev_max = st.max
+
+    # sort_by=None keeps the unsorted rewrite available
+    s2 = AggregateStore(spark, str(tmp_path / "store_unsorted"))
+    s2.build_tier("1d", tok.filter("id % 2 = 0"))
+    s2.incremental_update("1d", tok.filter("id % 2 = 1"))
+    s2.compact("1d", sort_by=None)
+    assert not is_sorted_by_source_bucket(month_files(s2, "1d"))
