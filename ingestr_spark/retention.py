@@ -564,9 +564,12 @@ class AggregateStore:
             # each output partition written by few tasks (no small-file storm)
             data_dir = self.data_path(tier, job_id)
             t0 = time.time()
-            pending.repartition("p_month", "source").write.mode("overwrite").partitionBy(
-                "p_month"
-            ).parquet(data_dir)
+            # cluster by (source, bucket) inside each task (Iceberg write
+            # sort order): row-group/page min-max stats then prune by-source
+            # reads on a FRESH build, not only after compact()
+            pending.repartition("p_month", "source").sortWithinPartitions(
+                "p_month", "source", "bucket"
+            ).write.mode("overwrite").partitionBy("p_month").parquet(data_dir)
             wall_ms = int((time.time() - t0) * 1000)
 
             stats = (
@@ -669,6 +672,9 @@ class AggregateStore:
             "p_month", F.date_format("bucket", "yyyy-MM")
         ).select(*cols)
         data_dir = self.data_path(tier, job_id)
+        # deliberately NOT sorted like build/compact: a micro-batch delta is
+        # a single row group per file, so a write sort buys no row-group
+        # pruning — clustering is restored when compact() folds the stack
         delta.repartition("p_month", "source").write.mode(
             "overwrite"
         ).partitionBy("p_month").parquet(data_dir)
@@ -726,9 +732,10 @@ class AggregateStore:
             "p_month", F.date_format("bucket", "yyyy-MM")
         )
         data_dir = self.data_path(coarser, job_id)
-        agg.repartition("p_month", "source").write.mode("overwrite").partitionBy(
-            "p_month"
-        ).parquet(data_dir)
+        # whole-month recompute → same write clustering as build_tier
+        agg.repartition("p_month", "source").sortWithinPartitions(
+            "p_month", "source", "bucket"
+        ).write.mode("overwrite").partitionBy("p_month").parquet(data_dir)
         self._commit_snapshot(
             coarser, {m: f"{data_dir}/p_month={m}" for m in months}, job_id,
             base=cur,

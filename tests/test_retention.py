@@ -733,11 +733,11 @@ def test_compact_vs_merge_interleave_cas(spark, tok, tmp_path):
 
 
 def test_compact_sort_order_clusters_sources(spark, tok, tmp_path):
-    """compact(sort_by=...) (r6, Iceberg SORT ORDER parity): rewritten month
-    files must be physically sorted by (source, bucket) so parquet
-    row-group / page min-max stats can prune a by-source read; merge deltas
-    arrive in shuffle order, so the pre-compaction layout is NOT sorted
-    (otherwise this asserts nothing). Value neutrality is covered by
+    """Write clustering (r6, Iceberg SORT ORDER parity): build_tier AND
+    compact(sort_by=...) physically sort files by (source, bucket) so
+    parquet row-group / page min-max stats can prune a by-source read;
+    compact(sort_by=None) proves the checker is not vacuous (a hash-shuffle
+    rewrite is unsorted). Value neutrality is covered by
     test_compact_rewrites_small_files_value_neutral and the driver's
     'compacted' hash probe."""
     import glob
@@ -762,8 +762,9 @@ def test_compact_sort_order_clusters_sources(spark, tok, tmp_path):
 
     s = AggregateStore(spark, str(tmp_path / "store_sorted"))
     s.build_tier("1d", tok.filter("id % 2 = 0"))
+    # a FRESH build is already clustered (write sort order)
+    assert is_sorted_by_source_bucket(month_files(s, "1d"))
     s.incremental_update("1d", tok.filter("id % 2 = 1"))
-    assert not is_sorted_by_source_bucket(month_files(s, "1d"))
 
     months = s.compact("1d")
     assert months
