@@ -887,6 +887,45 @@ class AggregateStore:
             return []
         return self.compact(tier, months=deep, job_id=job_id)
 
+    def partitions(self, tier: str, version: int | None = None) -> DataFrame:
+        """Iceberg's ``partitions`` metadata table: one row per
+        month-partition of the pinned snapshot (latest when ``version`` is
+        None), computed from METADATA only — snapshot entries, directory
+        listings, and parquet FOOTERS; no data row is ever decoded. Columns:
+
+        * ``stack_depth`` — merge-on-read dir count (1 = fully compacted);
+        * ``n_files`` / ``bytes`` — physical file count and size;
+        * ``physical_rows`` — footer row counts SUMMED ACROSS THE STACK (a
+          stacked month's logical recombined count is ≤ this; they agree
+          exactly once the month is compacted).
+
+        This is the maintenance decision surface: ``stack_depth`` says when
+        to :meth:`compact` (or what :meth:`fold_hot_stacks` will pick up),
+        ``bytes/n_files`` exposes small-file pressure — without paying a
+        data scan at any table size."""
+        import pyarrow.parquet as pq
+
+        snap = self.snapshot(tier, version)
+        rows = []
+        for m, entry in sorted(snap["partitions"].items()):
+            dirs = self._entry_dirs(entry)
+            n_files = n_bytes = n_rows = 0
+            for d in dirs:
+                r = self._resolve(d)
+                for name in os.listdir(r) if os.path.isdir(r) else []:
+                    if not name.endswith(".parquet"):
+                        continue
+                    f = f"{r}/{name}"
+                    n_files += 1
+                    n_bytes += os.path.getsize(f)
+                    n_rows += pq.ParquetFile(f).metadata.num_rows
+            rows.append((m, len(dirs), n_files, n_bytes, n_rows))
+        return self.spark.createDataFrame(
+            rows,
+            "p_month string, stack_depth int, n_files int, "
+            "bytes long, physical_rows long",
+        )
+
     # ---- verification + retention ----------------------------------------
     def verify_cascade(self, finer: str, coarser: str) -> DataFrame:
         """Month-level check that the coarser tier conserves the finer tier's

@@ -789,3 +789,35 @@ def test_compact_sort_order_clusters_sources(spark, tok, tmp_path):
     s2.incremental_update("1d", tok.filter("id % 2 = 1"))
     s2.compact("1d", sort_by=None)
     assert not is_sorted_by_source_bucket(month_files(s2, "1d"))
+
+
+def test_partitions_metadata_table(spark, tok, tmp_path):
+    """partitions() (r6, Iceberg metadata-table parity) reports stack depth,
+    file counts, and footer row sums per month WITHOUT decoding data rows:
+    a merge deepens the touched months' stacks, compaction folds them back
+    to depth 1, and only then physical_rows equals the logical row count."""
+    s = AggregateStore(spark, str(tmp_path / "store_parts"))
+    s.build_tier("1d", tok.filter("id % 2 = 0"))
+    base = {r["p_month"]: r for r in s.partitions("1d").collect()}
+    assert base and all(r["stack_depth"] == 1 for r in base.values())
+    v1 = s.current_snapshot("1d")["version"]
+
+    s.incremental_update("1d", tok.filter("id % 2 = 1"))
+    after = {r["p_month"]: r for r in s.partitions("1d").collect()}
+    deep = [m for m, r in after.items() if r["stack_depth"] == 2]
+    assert deep  # the merge touched at least one month
+    for m in deep:
+        assert after[m]["n_files"] > base[m]["n_files"]
+        assert after[m]["physical_rows"] > base[m]["physical_rows"]
+    # version pinning reads the PRE-merge metadata unchanged
+    pinned = {r["p_month"]: r for r in s.partitions("1d", version=v1).collect()}
+    assert {m: (r["stack_depth"], r["physical_rows"])
+            for m, r in pinned.items()} == \
+           {m: (r["stack_depth"], r["physical_rows"])
+            for m, r in base.items()}
+
+    s.compact("1d")
+    logical = s.read_tier("1d").count()
+    final = s.partitions("1d").collect()
+    assert all(r["stack_depth"] == 1 and r["n_files"] == 1 for r in final)
+    assert sum(r["physical_rows"] for r in final) == logical
