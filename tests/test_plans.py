@@ -189,3 +189,24 @@ def test_read_tier_compacted_fast_path_no_recombine(spark, tok, tmp_path):
     assert "HashAggregate" in _plan(s.read_tier("1d"))
     s.compact("1d")
     assert "HashAggregate" not in _plan(s.read_tier("1d"))
+
+
+def test_read_tier_source_filter_pushes_below_recombine(spark, tok, tmp_path):
+    """A by-source read of a STACKED month must push the source predicate
+    through the recombine aggregate to the parquet scan (source is a
+    grouping key, so Catalyst may and must): at scale the recombine then
+    touches one source's rows, not the whole month — and clustered files
+    (write sort order) turn that pushed filter into row-group skips."""
+    from ingestr_spark.retention import AggregateStore
+
+    s = AggregateStore(spark, str(tmp_path / "pushdown"))
+    s.build_tier("1d", tok.filter("id % 2 = 0"))
+    s.incremental_update("1d", tok.filter("id % 2 = 1"))
+    df = s.read_tier("1d").filter(F.col("source") == "hot")
+    plan = _plan(df)
+    assert "HashAggregate" in plan  # the stack really recombines
+    scans = [seg for seg in plan.split("FileScan") if "PushedFilters" in seg]
+    assert scans, plan[:2000]
+    for seg in scans:
+        pushed = seg.split("PushedFilters: ")[1].split("]")[0]
+        assert "EqualTo(source,hot)" in pushed, plan[:2000]
