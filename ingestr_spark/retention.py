@@ -343,13 +343,34 @@ class AggregateStore:
         return {r["p_month"] for r in m.select("p_month").distinct().collect()}
 
     def _log(self, tier: str, rows: list[dict]) -> None:
+        """Append lineage rows WITHOUT Hadoop's shared job staging: a plain
+        ``mode("append")`` parquet write stages every concurrent job under
+        the SAME ``<manifest>/_temporary/0`` directory, so two committers
+        logging at once (e.g. a merge landing while a CAS-loss retry of
+        another merge logs its own commit) delete each other's task files —
+        found by the r6 interleaving stress test. Instead each writer stages
+        under a PRIVATE ``_stage-<uuid>`` subdir (the ``_`` prefix keeps
+        readers from ever listing it) and atomically renames its data files
+        into the manifest dir under fresh unique names — the same
+        unique-file-name discipline the data-dir commits use, so appenders
+        never share a path and readers never see a partial file."""
         if not rows:
             return
         df = self.spark.createDataFrame(
             [(r["p_month"], r["n_rows"], r["sum_n_seq"], r["wall_ms"], r["job_id"], r["completed_at"]) for r in rows],
             "p_month string, n_rows long, sum_n_seq long, wall_ms long, job_id string, completed_at double",
         )
-        df.coalesce(1).write.mode("append").parquet(self.manifest_path(tier))
+        dest = self.manifest_path(tier)
+        stage = f"{dest}/_stage-{uuid.uuid4().hex}"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        os.makedirs(dest, exist_ok=True)
+        try:
+            for name in os.listdir(stage):
+                if name.endswith(".parquet"):
+                    os.rename(f"{stage}/{name}",
+                              f"{dest}/{uuid.uuid4().hex}.parquet")
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
 
     # ---- reads ------------------------------------------------------------
     def read_tier(

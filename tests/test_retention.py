@@ -821,3 +821,65 @@ def test_partitions_metadata_table(spark, tok, tmp_path):
     final = s.partitions("1d").collect()
     assert all(r["stack_depth"] == 1 and r["n_files"] == 1 for r in final)
     assert sum(r["physical_rows"] for r in final) == logical
+
+
+def test_random_interleaving_converges_to_eager(spark, tok, tmp_path):
+    """Linearizability stress for the snapshot CAS protocol: three threads
+    race disjoint merges against compactions and hot-stack folds, each
+    retrying on a CAS loss (FileExistsError) with a fresh job id. Whatever
+    interleaving the scheduler picks, the committed history must serialize:
+    the final tier equals an eager build over all the raw slices, version
+    numbers are gapless, and every month ends readable."""
+    import threading
+
+    from ingestr_spark.operators.rollup import rollup_from_raw
+
+    s = AggregateStore(spark, str(tmp_path / "store_interleave"))
+    slices = [tok.filter(f"id % 4 = {k}") for k in range(4)]
+    s.build_tier("1d", slices[0])
+
+    errors: list[BaseException] = []
+
+    def run_with_retry(fn, attempts=8):
+        for i in range(attempts):
+            try:
+                return fn(i)
+            except FileExistsError:
+                continue  # CAS loss: recompute against the new snapshot
+        raise AssertionError("CAS retries exhausted")
+
+    def merger(k: int) -> None:
+        try:
+            run_with_retry(
+                lambda i: s.incremental_update(
+                    "1d", slices[k], job_id=f"m{k}-try{i}"))
+        except BaseException as e:  # noqa: BLE001 - surfaced in main thread
+            errors.append(e)
+
+    def maintainer() -> None:
+        try:
+            run_with_retry(lambda i: s.compact("1d", job_id=f"c-try{i}"))
+            run_with_retry(lambda i: s.fold_hot_stacks(
+                "1d", max_depth=1, job_id=f"f-try{i}"))
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=merger, args=(k,)) for k in (1, 2, 3)]
+    threads.append(threading.Thread(target=maintainer))
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    want = sorted(
+        tuple(r) for r in rollup_from_raw(tok, "1d")
+        .select("source", "bucket", "n_seq", "sum_n_tok").collect()
+    )
+    got = sorted(
+        tuple(r) for r in s.read_tier("1d")
+        .select("source", "bucket", "n_seq", "sum_n_tok").collect()
+    )
+    assert got == want
+    versions = s._snapshot_versions("1d")
+    assert versions == list(range(1, len(versions) + 1))  # gapless history
