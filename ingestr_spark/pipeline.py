@@ -82,6 +82,11 @@ def main(argv: list[str] | None = None) -> int:
                         "them into the first tier, and refreshes coarser "
                         "tiers from finer-tier snapshot diffs "
                         "(cascade_refresh) — re-running is the resume")
+    p.add_argument("--partitions-report", action="store_true",
+                   help="include per-tier partition metadata in the report "
+                        "(stack depth / files / bytes / footer row sums — "
+                        "metadata only, no data rows decoded; see "
+                        "AggregateStore.partitions)")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -173,6 +178,11 @@ def main(argv: list[str] | None = None) -> int:
         report["gc_removed_dirs"] = gc_removed
     if gc_records:
         report["gc_expired_job_records"] = gc_records
+    if args.partitions_report:
+        report["partitions"] = {
+            t: [r.asDict() for r in store.partitions(t).collect()]
+            for t in tiers
+        }
     if codec_ok:
         report["codec_roundtrip_ok"] = codec_ok
     print(json.dumps(report))

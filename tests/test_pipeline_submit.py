@@ -83,8 +83,18 @@ def test_spark_submit_pyfiles_multi_executor(spark, tok, tmp_path):
     # writer) physically collects the dropped dirs
     res2 = _submit(zpath, tok_path, store,
                    "--retain-before", "2023-01", "--gc", "--gc-min-age", "0",
-                   "--compact-all")
+                   "--compact-all", "--partitions-report")
     assert res2["built_partitions"] == {"1h": 0, "1d": 0, "1mo": 0}
+    # --partitions-report (r6): metadata-only per-tier stats; after
+    # --compact-all every month is one fully folded file
+    for t in ("1h", "1d", "1mo"):
+        parts = res2["partitions"][t]
+        assert parts, res2["partitions"]
+        assert all(
+            p["stack_depth"] == 1 and p["n_files"] == 1
+            and p["bytes"] > 0 and p["physical_rows"] > 0
+            for p in parts
+        ), parts
     # --compact-all rewrites every tier even when the build was a no-op
     # (incremental --compact would have skipped: no months re-pointed);
     # it runs AFTER the retention drop, so dropped months are not rewritten
