@@ -87,12 +87,29 @@ def _tokens_expr(id_col: str) -> str:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition of the SLIM projected fixture input before
+    the row→token-array derivation (r7, guide §2.5 input skew / §6 split
+    size): the documents/embeddings fixtures arrive as ONE small parquet
+    file, so the scan is one task — and the ~1000x row→array amplification
+    done on top of it (up to 2048 generated tokens per row, then aggregated)
+    would run single-threaded. The exchange moves only the few projected
+    key columns (tens of bytes/row — measured 0.57 s → 0.15 s for the
+    derivation at sf0.1 on 32 cores), and the derived results are
+    partitioning-independent by design (integer accumulators, oracle-checked
+    at every SF)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def tokens_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive the token table from ``{sf_dir}/documents.parquet``.
 
     Matches :data:`TOKENS_CTE` row-for-row (the DuckDB oracle derivation).
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source", "n_chars")
+    )
     e = _derivation_exprs("doc_id", "n_chars", "source")
     out = (
         docs.select(
@@ -181,7 +198,7 @@ tok AS (
 # exact-dup pairs: base b2 = id - id%2; both ids derive identical tokens.
 
 def neardup_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id"))
     return docs.select(F.col("doc_id").alias("id")).select(
         "id",
         F.expr(f"""
@@ -194,7 +211,7 @@ def neardup_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def exactdup_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id"))
     return docs.select(F.col("doc_id").alias("id")).select(
         "id",
         F.expr(f"""
@@ -223,7 +240,10 @@ EMB_DIM = 64
 # ≤ 0.61 — clean separation for a 0.95 near-dup threshold.
 
 def neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = _spread(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+    ).select(
         "vec_id",
         F.expr(
             "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))"

@@ -506,6 +506,27 @@ def embedding_near_dup_lsh(
     degenerate near-identical clusters; trades recall, disclosed here). At
     10^9+ rows raise ``bits`` so band values stay selective (band width
     bits/bands sets bucket cardinality 2^(bits/bands)).
+
+    r7 rescore restructure (same rows out, bit-for-bit): the old shape
+    materialized the candidate-pair SET first (band self-join → distinct →
+    two joins back to (q, nrm) → per-pair interpreted zip_with/aggregate
+    cosine). With coarse band values the candidate set is large, and the
+    per-pair higher-order-function cosine allocates boxed longs per element
+    — measured 185 CPU-s (102 s of it JVM GC) for ~1.4M candidates at
+    sf0.1. The rescore now runs as ONE numpy GEMM per (band, bucket) group
+    (groupBy + applyInPandas): all-pairs integer dots inside the bucket,
+    threshold + id_a < id_b applied in the kernel, then a distinct over the
+    few SURVIVING pairs (a pair co-bucketed in k bands is scored k times —
+    scoring is exact and deterministic, so the duplicates are identical
+    rows and collapse; computing cosines before the distinct is ~1e3x
+    cheaper than the HOF path, so trading duplicate GEMM lanes for the
+    dropped pair-set materialization wins at any bucket skew). Candidates
+    are THE SAME pairs by construction (co-bucketed in ≥1 band), dots are
+    the same exact int64 sums, and the final division mirrors the SQL
+    operand order — so results are identical to the round-6 plan and the
+    oracle. Per-task memory is bounded by the bucket cap; the shuffle
+    carries (q, nrm) × bands instead of (q, nrm) × candidate-pairs, which
+    is strictly less whenever buckets average ≥ 1 extra co-occupant.
     """
     import numpy as np
     import pandas as pd
@@ -525,7 +546,7 @@ def embedding_near_dup_lsh(
     # projection through Catalyst project-collapsing — measured slower both
     # as a sketch array (sliced per band: bands× re-expansion) and as
     # direct band terms; the kernel also materializes (id, q, nrm, bands)
-    # once at the Python stage boundary for the joins downstream.
+    # once at the Python stage boundary for the bucket GEMMs downstream.
     ws_np = np.array(hyperplane_weights(bits, dim), dtype=np.int64)
     id_t = df.schema[id_col].dataType
     s_schema = T.StructType([
@@ -552,24 +573,41 @@ def embedding_near_dup_lsh(
             })
 
     s = df.select(id_col, qvec_col).mapInPandas(sketch, s_schema)
-    banded = s.select("id", F.posexplode("bv").alias("band", "val"))
-    if max_bucket_rows is not None:
-        # NOT broadcast: one row per distinct (band, bucket) — corpus-scale
-        # cardinality; the optimizer picks the join strategy from size.
-        sizes = banded.groupBy("band", "val").agg(F.count(F.lit(1)).alias("_bn"))
-        banded = banded.join(
-            sizes.filter(F.col("_bn") <= max_bucket_rows),
-            ["band", "val"],
-        ).drop("_bn")
-    cand = (
-        banded.alias("a").join(banded.alias("b"), ["band", "val"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    banded = s.select("id", "q", "nrm", F.posexplode("bv").alias("band", "val"))
+    pair_schema = T.StructType([
+        T.StructField("id_a", id_t),
+        T.StructField("id_b", id_t),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+
+    def bucket_gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        # hot-bucket cap applied where the bucket is assembled (same rows
+        # dropped as the old pre-join size filter — a capped bucket
+        # contributes no candidates)
+        if n < 2 or (max_bucket_rows is not None and n > max_bucket_rows):
+            return empty
+        ids = pdf["id"].to_numpy()
+        qm = np.array(pdf["q"].tolist(), dtype=np.int64)
+        dots = qm @ qm.T  # exact: |dot| <= dim·(scaled q)² << 2^63
+        # same operand order as _pair_cosine: double(dot) / sqrt(dl·dr)
+        denom = np.sqrt(
+            np.outer(
+                pdf["nrm"].to_numpy(dtype=np.float64),
+                pdf["nrm"].to_numpy(dtype=np.float64),
+            )
+        )
+        cos = dots.astype(np.float64) / denom
+        mask = (cos >= threshold) & (ids[:, None] < ids[None, :])
+        li, ri = np.nonzero(mask)
+        if not len(li):
+            return empty
+        return pd.DataFrame(
+            {"id_a": ids[li], "id_b": ids[ri], "cosine": cos[li, ri]}
+        )
+
+    scored = banded.groupBy("band", "val").applyInPandas(
+        bucket_gemm, pair_schema
     )
-    l = s.select(F.col("id").alias("id_a"), "q", "nrm").alias("l")
-    r = s.select(F.col("id").alias("id_b"), "q", "nrm").alias("r")
-    scored = cand.join(l, "id_a").join(r, "id_b").select(
-        "id_a", "id_b", _pair_cosine().alias("cosine")
-    )
-    return scored.filter(F.col("cosine") >= threshold)
+    return scored.distinct()

@@ -109,9 +109,21 @@ def refresh_store_availablenow(
     if fold_depth is not None:
         # post-drain maintenance, outside the sink: folding once per DRAIN
         # (not per batch) amortizes the rewrite and cannot interleave with
-        # this driver's own in-flight merges
+        # this driver's own in-flight merges. r7 (ADVICE r6): a CAS loss to
+        # a CONCURRENT committer (another process's compact/merge landing
+        # between this fold's pinned read and its commit) is retried once
+        # against the new snapshot, then skipped — the fold is layout-only
+        # maintenance and re-arms at the next drain cadence
+        # (fold_hot_stacks' documented "safe to skip and retry" contract;
+        # previously the FileExistsError aborted the whole drain run).
         for tier in tiers:
-            store.fold_hot_stacks(tier, max_depth=fold_depth)
+            try:
+                store.fold_hot_stacks(tier, max_depth=fold_depth)
+            except FileExistsError:
+                try:
+                    store.fold_hot_stacks(tier, max_depth=fold_depth)
+                except FileExistsError:
+                    pass  # next drain retries
 
 
 def stateful_locf_stream(

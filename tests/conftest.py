@@ -1,10 +1,15 @@
 from __future__ import annotations
 
+import os
 import sys
 
 import pytest
 
 sys.path.insert(0, "/root/repo")
+
+# the session prewarm (session._prewarm) amortizes over a long bench/pipeline
+# session; the suite builds many short-lived sessions, so skip it here
+os.environ.setdefault("SPARK_GRAFT_PREWARM", "0")
 
 from ingestr_spark.session import get_spark
 
