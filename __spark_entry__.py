@@ -160,33 +160,36 @@ def _daily_tier_for_gapfill(spark, sf_dir):
 
 
 def q_gapfill_methods_1d(spark, sf_dir):
-    """All four spine gap-fill methods on the daily tier in one row-wise
-    join: LOCF (G2/W3), assume-zero (G2), linear interpolation with
-    head/tail extension (G1, bit-exact vs the operation-order-mirrored
-    DuckDB windows), and the W1 lag-2 cascade."""
+    """All four spine gap-fill methods on the daily tier: LOCF (G2/W3),
+    assume-zero (G2), linear interpolation with head/tail extension (G1,
+    bit-exact vs the operation-order-mirrored DuckDB windows), and the W1
+    lag-2 cascade.
+
+    r7 plan restructure (identical rows/values — the oracle is unchanged):
+    the four methods used to run as four branches re-joined on
+    (source, bucket). Every method is a window over the SAME
+    (source, bucket-order) partitioning and every branch carries exactly
+    the spine's row set, so the three inner joins only re-aligned rows a
+    single frame already aligns — the methods now run as one chained
+    window pass over per-method copies of the value columns (one exchange
+    + one sort feed all window frames; 3 joins and their exchanges gone).
+    Each operator still computes its column through the SAME operator
+    implementation."""
     from ingestr_spark.operators.tsutil import lag_fill_cascade
 
     base = _daily_tier_for_gapfill(spark, sf_dir)
-    j = spine_join(base)
-    l = locf(j, ["sum_n_tok", "n_seq"]).select(
+    j = spine_join(base).select(
         "source", "bucket", "gap",
         F.col("sum_n_tok").alias("locf_sum"), F.col("n_seq").alias("locf_nseq"),
-    )
-    z = zero_fill(j, ["sum_n_tok", "n_seq"]).select(
-        "source", "bucket",
         F.col("sum_n_tok").alias("zero_sum"), F.col("n_seq").alias("zero_nseq"),
+        F.col("sum_n_tok").alias("lin_sum"),
+        F.col("sum_n_tok").alias("lag2_sum"),
     )
-    li = interpolate_linear(j.drop("n_seq"), ["sum_n_tok"]).select(
-        "source", "bucket", F.col("sum_n_tok").alias("lin_sum")
-    )
-    g2 = lag_fill_cascade(
-        j.drop("n_seq"), "sum_n_tok", n_lags=2, key_cols=["source"],
-        order_col="bucket",
-    ).select("source", "bucket", F.col("sum_n_tok").alias("lag2_sum"))
-    daily = (
-        l.join(z, ["source", "bucket"])
-        .join(li, ["source", "bucket"])
-        .join(g2, ["source", "bucket"])
+    j = locf(j, ["locf_sum", "locf_nseq"])
+    j = zero_fill(j, ["zero_sum", "zero_nseq"])
+    j = interpolate_linear(j, ["lin_sum"])
+    daily = lag_fill_cascade(
+        j, "lag2_sum", n_lags=2, key_cols=["source"], order_col="bucket"
     )
     # r5 registry fold (VERDICT r4 #7): the monthly-grain LOCF rides along
     # as grain='1mo' (its old standalone slot is freed); columns the other
@@ -656,9 +659,14 @@ def q_store_incremental_scan(spark, sf_dir):
 
     apply_engine_conf(spark)
     tok = _tok(spark, sf_dir)
+    # r7: the derived token table feeds THREE full scans (the month-split
+    # discovery below, the batch-1 build aggregation, the batch-2 delta
+    # aggregation) — persist it for the query's lifetime so the ~1000x
+    # row→token-array derivation runs once (materialized from parquet
+    # INSIDE this timed query on every invocation; freed in the finally).
     with_m = tok.withColumn(
         "_m", F.date_trunc("month", "ts").cast("date")
-    )
+    ).persist()
     months = sorted(
         r["_m"] for r in with_m.select("_m").distinct().collect()
     )
@@ -725,6 +733,7 @@ def q_store_incremental_scan(spark, sf_dir):
         rows = res.collect()  # materialize before the store dir vanishes
         return spark.createDataFrame(rows, res.schema)
     finally:
+        with_m.unpersist()
         shutil.rmtree(root, ignore_errors=True)
 
 

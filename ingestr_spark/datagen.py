@@ -240,10 +240,12 @@ EMB_DIM = 64
 # ≤ 0.61 — clean separation for a 0.95 near-dup threshold.
 
 def neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _spread(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .select("vec_id", "embedding")
-    ).select(
+    # deliberately NOT _spread: the consumer is the LSH sketch mapInPandas,
+    # whose numpy kernel wants FEW LARGE Arrow batches — splitting the small
+    # scan into defaultParallelism tasks multiplies the per-task Python
+    # runner handshake (measured ~4 s init per task even on reused workers)
+    # for microseconds of per-task compute
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id",
         F.expr(
             "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))"

@@ -125,8 +125,16 @@ def minhash_similarity(
     max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with estimated Jaccard = fraction of
-    matching signature components, filtered at ``threshold``."""
-    sig = minhash_signatures(df, id_col, tokens_col, k, n)
+    matching signature components, filtered at ``threshold``.
+
+    The signature table is persisted (r7): it feeds ``bands`` candidate
+    branches plus the two rescore sides, and Catalyst column-prunes each
+    branch to ITS band's components — so the branches are all DIFFERENT
+    subtrees and runtime exchange reuse cannot deduplicate them (measured:
+    the shingle-explode aggregation ran 5x per query). The cache is k
+    int64s + the id per doc — bounded and spill-safe (MEMORY_AND_DISK) at
+    corpus scale, the standard shape for a reused LSH signature table."""
+    sig = minhash_signatures(df, id_col, tokens_col, k, n).persist()
     cand = lsh_candidate_pairs(sig, id_col, k, bands, max_bucket_rows)
     a = sig.select(F.col(id_col).alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)])
     b = sig.select(F.col(id_col).alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)])

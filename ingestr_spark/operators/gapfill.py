@@ -40,8 +40,17 @@ def spine_join(
     step: str = "interval 1 day",
 ) -> DataFrame:
     """Left-join the tier onto its per-key dense spine; missing buckets
-    surface as all-null measure rows with ``gap = true``."""
+    surface as all-null measure rows with ``gap = true``.
+
+    The tier is persisted (r7): it feeds both the spine's per-key min/max
+    bounds aggregate and the join probe side, and Catalyst column-prunes
+    the bounds pass to (key, bucket) — a DIFFERENT subtree from the full
+    tier, so runtime exchange reuse cannot deduplicate them and the tier's
+    (often expensive) upstream aggregation ran twice. Tier rows are
+    bounded by keys × calendar buckets, so the cache is small at any raw
+    scale (the reference's per-site frames are the same shape)."""
     key_cols = key_cols or ["source"]
+    tier = tier.persist()
     spine = key_spine(tier, key_cols, bucket_col, step)
     joined = spine.join(tier, on=[*key_cols, bucket_col], how="left")
     return joined.withColumn("gap", F.col("n_seq").isNull() if "n_seq" in tier.columns

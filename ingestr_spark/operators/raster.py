@@ -95,12 +95,17 @@ def extract_points_bilinear(
     point_cols = points.columns
     gathered = joined.groupBy(*point_cols, "_fx", "_fy", "band").agg(
         # corner-count integrity (ADVICE r4): with a well-formed grid each
-        # (band, ix, iy) matches a corner at most once, so row count ==
-        # distinct-corner count; a duplicated grid cell breaks that
-        # equality and is surfaced via raise_error below instead of being
-        # silently resolved by max()
-        F.count(F.lit(1)).alias("_n_corners"),
-        F.countDistinct(F.col("_c")).alias("_n_distinct_corners"),
+        # (band, ix, iy) matches a corner at most once; a duplicated grid
+        # cell is surfaced via raise_error below instead of being silently
+        # resolved by max(). r7: detected as "any PER-CORNER match count
+        # > 1" via four conditional counts — equivalent to the old
+        # rowcount-vs-countDistinct comparison, but without the
+        # distinct-aggregate Expand (which doubled the aggregation phases
+        # and added an exchange per extraction pipeline).
+        *[
+            F.sum(F.when(F.col("_c") == c, 1).otherwise(0)).alias(f"_n{c}")
+            for c in range(4)
+        ],
         *[
             F.max(F.when(F.col("_c") == c, F.col("value"))).alias(f"_v{c}")
             for c in range(4)
@@ -124,11 +129,15 @@ def extract_points_bilinear(
         + v[2] * (1 - fx) * fy
         + v[3] * fx * fy
     )
+    dup = (
+        (F.col("_n0") > 1) | (F.col("_n1") > 1)
+        | (F.col("_n2") > 1) | (F.col("_n3") > 1)
+    )
     extracted = gathered.select(
         *point_cols,
         "band",
         F.when(
-            F.col("_n_corners") != F.col("_n_distinct_corners"),
+            dup,
             F.raise_error(F.lit(
                 "corrupt raster grid: duplicate (band, ix, iy) cell rows "
                 "matched a point corner more than once"

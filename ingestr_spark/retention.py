@@ -82,10 +82,30 @@ from ingestr_spark.operators.rollup import recombine, rollup_cascade, rollup_fro
 TIER_CHAIN = ["1h", "1d", "1mo"]
 
 
+#: the fixed lineage-manifest schema (written by ``_log``; declaring it at
+#: read time skips parquet schema inference — one fewer footer-reading job
+#: per manifest read on the maintenance path)
+MANIFEST_SCHEMA = (
+    "p_month string, n_rows long, sum_n_seq long, wall_ms long, "
+    "job_id string, completed_at double"
+)
+
+
 class AggregateStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root.rstrip("/")
+        # r7: per-(tier, read-shape) schema cache for data-dir reads. Every
+        # job dir of a tier is written with the same engine-controlled
+        # columns, so after the first inferred read the schema is declared
+        # explicitly and parquet schema inference (a driver/job round-trip
+        # per read) is skipped — read_tier on a many-month snapshot issues
+        # one read per owning job dir, so this removes O(job dirs) small
+        # jobs from every store read. Parquet columns resolve BY NAME, so a
+        # cached column order never misreads a file. Cache lives per store
+        # instance (cleared with it); introducing schema evolution would
+        # key this by snapshot schema version.
+        self._schema_cache: dict[tuple[str, bool], object] = {}
 
     # ---- paths ----------------------------------------------------------
     def data_path(self, tier: str, job_id: str) -> str:
@@ -333,7 +353,7 @@ class AggregateStore:
         path = self.manifest_path(tier)
         if not os.path.exists(path):
             return None
-        df = self.spark.read.parquet(path)
+        df = self.spark.read.schema(MANIFEST_SCHEMA).parquet(path)
         return df if df.columns else None
 
     def completed_months(self, tier: str) -> set[str]:
@@ -382,6 +402,28 @@ class AggregateStore:
         os.rename(tmp, f"{dest}/{uuid.uuid4().hex}.parquet")
 
     # ---- reads ------------------------------------------------------------
+    def _read_data_dirs(
+        self, tier: str, dirs: list[str], base_path: str | None
+    ) -> DataFrame:
+        """Read a set of month data dirs, declaring the tier schema when it
+        is already known (see ``_schema_cache`` in ``__init__``). The two
+        read shapes differ: with ``base_path`` the p_month partition column
+        is derived from the directory names (single-dir months); without it
+        the given paths ARE the leaf month dirs and no partition column
+        appears (stacked months — read_tier re-adds p_month after the
+        recombine)."""
+        key = (tier, base_path is not None)
+        r = self.spark.read
+        if base_path is not None:
+            r = r.option("basePath", base_path)
+        cached = self._schema_cache.get(key)
+        if cached is not None:
+            r = r.schema(cached)
+        df = r.parquet(*sorted(dirs))
+        if cached is None:
+            self._schema_cache[key] = df.schema
+        return df
+
     def read_tier(
         self,
         tier: str,
@@ -425,14 +467,14 @@ class AggregateStore:
         for d in singles:
             by_job.setdefault(os.path.dirname(d), []).append(d)
         frames = [
-            self.spark.read.option("basePath", job_dir).parquet(*sorted(dirs))
+            self._read_data_dirs(tier, dirs, base_path=job_dir)
             for job_dir, dirs in sorted(by_job.items())
         ]
         if stacked:
             # stacked months: one scan over every dir of every stack (each
             # dir holds exactly one month's rows, so no cross-month bleed),
             # then the same-grain algebraic recombine
-            raw = self.spark.read.parquet(*sorted(stacked))
+            raw = self._read_data_dirs(tier, stacked, base_path=None)
             rec = recombine(raw).withColumn(
                 "p_month", F.date_format("bucket", "yyyy-MM")
             )
