@@ -811,11 +811,16 @@ def q_streaming_windows(spark, sf_dir):
     src_dir = f"{tmp}/events_src"
     _stage_stream_source(path, src_dir)
     try:
-        frames = []
-        for probe, win_args in (
-            ("tumbling", ("1 hour",)),
-            ("sliding", ("1 hour", "30 minutes")),
-        ):
+        # r7: the four probes are INDEPENDENT streaming queries (each has
+        # its own source dir, checkpoint, and memory sink) — run them
+        # concurrently from a small thread pool (guide §2.6: actions are
+        # only sequential because the driver calls them sequentially; a
+        # streaming query's fixed start/commit overhead dominates at probe
+        # scale). Each probe's internal micro-batch ordering (sentinel
+        # mtimes, ts-split halves) is per-source-dir and unaffected by the
+        # other probes. Frames keep the fixed tumbling/sliding/session/locf
+        # order, so the result is identical to the serial composition.
+        def _run_window(probe, win_args):
             stream = spark.readStream.schema(schema).parquet(src_dir)
             agg = (
                 stream.groupBy(
@@ -846,8 +851,9 @@ def q_streaming_windows(spark, sf_dir):
             )
             q.awaitTermination()
             t = spark.table(name)
-            frames.append(spark.createDataFrame(t.collect(), t.schema))
+            out = spark.createDataFrame(t.collect(), t.schema)
             spark.catalog.dropTempView(name)
+            return out
 
         # ---- session probe: THREE-batch source so the watermark finalizes
         # every real session (r6). The watermark computed from batch N's
@@ -858,158 +864,174 @@ def q_streaming_windows(spark, sf_dir):
         # (its max event time becomes the watermark that, at batch 3,
         # finalizes every real session), batch 3 = sentinel B (exists only
         # to trigger that eviction).
-        max_ts = spark.read.parquet(path).agg(F.max("ts")).collect()[0][0]
-        sess_src = f"{tmp}/events_sess_src"
-        _stage_stream_source(path, sess_src)
-        if len(os.listdir(sess_src)) > 1:
-            shutil.rmtree(sess_src)
-            staged = f"{tmp}/events_one_file"
-            spark.read.parquet(path).coalesce(1).write.parquet(staged)
-            os.makedirs(sess_src)
-            part = next(e for e in sorted(os.listdir(staged))
-                        if e.endswith(".parquet"))
-            shutil.copy(f"{staged}/{part}", f"{sess_src}/0000.parquet")
-        for i, days in enumerate((365, 366)):
-            d = f"{tmp}/sentinel_{i}"
-            spark.createDataFrame(
-                [(-1 - i, max_ts + dt.timedelta(days=days), -1 - i, "zz",
-                  0.0, "{}")],
-                schema,
-            ).coalesce(1).write.parquet(d)
-            part = next(e for e in sorted(os.listdir(d))
-                        if e.endswith(".parquet"))
-            shutil.copy(f"{d}/{part}", f"{sess_src}/zz_sent_{i}.parquet")
-        # deterministic batch order: the file source admits oldest mtime
-        # first. A symlinked event file reports its (old) target mtime; a
-        # copied one got stamped 'now' — back-date it. Never touch testdata.
-        import time as _time
+        def _run_session():
+            max_ts = spark.read.parquet(path).agg(F.max("ts")).collect()[0][0]
+            sess_src = f"{tmp}/events_sess_src"
+            _stage_stream_source(path, sess_src)
+            if len(os.listdir(sess_src)) > 1:
+                shutil.rmtree(sess_src)
+                staged = f"{tmp}/events_one_file"
+                spark.read.parquet(path).coalesce(1).write.parquet(staged)
+                os.makedirs(sess_src)
+                part = next(e for e in sorted(os.listdir(staged))
+                            if e.endswith(".parquet"))
+                shutil.copy(f"{staged}/{part}", f"{sess_src}/0000.parquet")
+            for i, days in enumerate((365, 366)):
+                d = f"{tmp}/sentinel_{i}"
+                spark.createDataFrame(
+                    [(-1 - i, max_ts + dt.timedelta(days=days), -1 - i, "zz",
+                      0.0, "{}")],
+                    schema,
+                ).coalesce(1).write.parquet(d)
+                part = next(e for e in sorted(os.listdir(d))
+                            if e.endswith(".parquet"))
+                shutil.copy(f"{d}/{part}", f"{sess_src}/zz_sent_{i}.parquet")
+            # deterministic batch order: the file source admits oldest mtime
+            # first. A symlinked event file reports its (old) target mtime; a
+            # copied one got stamped 'now' — back-date it. Never touch testdata.
+            import time as _time
 
-        now = _time.time()
-        for entry in os.listdir(sess_src):
-            p = f"{sess_src}/{entry}"
-            if entry.startswith("zz_sent_"):
-                os.utime(p, (now + 60 * int(entry[8]), now + 60 * int(entry[8])))
-            elif not os.path.islink(p):
-                os.utime(p, (now - 3600, now - 3600))
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(sess_src)
-        )
-        sess = (
-            # session_window rejects TIMESTAMP_NTZ event time; the session
-            # TZ is UTC, so the cast is a pure reinterpretation (same epoch).
-            # NO stream-side sentinel filter: a user_id predicate gets
-            # PUSHED DOWN to the parquet scan, prunes the sentinel files
-            # wholesale, and the watermark never sees their event times —
-            # sentinels are dropped from the materialized result instead
-            # (their own sessions never finalize, so they cannot emit).
-            stream.withColumn("ts", F.col("ts").cast("timestamp"))
-            .withWatermark("ts", "1 second")
-            .groupBy(F.session_window("ts", "30 minutes").alias("win"),
-                     "user_id")
-            .agg(
-                F.count(F.lit(1)).alias("n_events"),
-                F.min("event_id").alias("min_event_id"),
-                F.max("event_id").alias("max_event_id"),
+            now = _time.time()
+            for entry in os.listdir(sess_src):
+                p = f"{sess_src}/{entry}"
+                if entry.startswith("zz_sent_"):
+                    os.utime(p, (now + 60 * int(entry[8]), now + 60 * int(entry[8])))
+                elif not os.path.islink(p):
+                    os.utime(p, (now - 3600, now - 3600))
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(sess_src)
             )
-            .select(
-                F.lit("session").alias("probe"),
-                F.col("win.start").cast("timestamp").cast("long")
-                .alias("win_epoch"),
-                "user_id",
-                F.col("win.end").cast("timestamp").cast("long")
-                .alias("session_end_epoch"),
-                "n_events", "min_event_id", "max_event_id",
+            sess = (
+                # session_window rejects TIMESTAMP_NTZ event time; the session
+                # TZ is UTC, so the cast is a pure reinterpretation (same epoch).
+                # NO stream-side sentinel filter: a user_id predicate gets
+                # PUSHED DOWN to the parquet scan, prunes the sentinel files
+                # wholesale, and the watermark never sees their event times —
+                # sentinels are dropped from the materialized result instead
+                # (their own sessions never finalize, so they cannot emit).
+                stream.withColumn("ts", F.col("ts").cast("timestamp"))
+                .withWatermark("ts", "1 second")
+                .groupBy(F.session_window("ts", "30 minutes").alias("win"),
+                         "user_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.min("event_id").alias("min_event_id"),
+                    F.max("event_id").alias("max_event_id"),
+                )
+                .select(
+                    F.lit("session").alias("probe"),
+                    F.col("win.start").cast("timestamp").cast("long")
+                    .alias("win_epoch"),
+                    "user_id",
+                    F.col("win.end").cast("timestamp").cast("long")
+                    .alias("session_end_epoch"),
+                    "n_events", "min_event_id", "max_event_id",
+                )
             )
-        )
-        name = f"stream_sess_{uuid.uuid4().hex[:8]}"
-        q = (
-            sess.writeStream.format("memory").queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", f"{tmp}/session")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        t = spark.table(name)
-        frames.append(
-            spark.createDataFrame(t.collect(), t.schema)
-            .filter("user_id >= 0")  # belt-and-braces sentinel drop (batch)
-        )
-        spark.catalog.dropTempView(name)
-
-        # ---- locf_state probe: applyInPandasWithState under the hash gate
-        # (r6 — the last streaming surface verified only by pytest). The
-        # source is split into TWO ts-ordered micro-batches at the floored-
-        # second midpoint, so the per-key (last_value, last_ts) state
-        # genuinely crosses a batch boundary and the cross-boundary
-        # gap_seconds comes from the STATE STORE, not from a window over
-        # one batch. Value nulls are derived deterministically
-        # (event_id % 7 = 0); LOCF copies parquet doubles bit-identically;
-        # both engines floor timestamps to whole epoch seconds BEFORE
-        # differencing and order ties by (exact event time, event_id).
-        from ingestr_spark.streaming.jobs import stateful_locf_stream
-
-        ev = spark.read.parquet(path)
-        mn_s, mx_s = ev.agg(
-            F.min(F.col("ts").cast("timestamp").cast("long")),
-            F.max(F.col("ts").cast("timestamp").cast("long")),
-        ).collect()[0]
-        mid_s = (mn_s + mx_s) // 2
-        locf_src = f"{tmp}/events_locf_src"
-        os.makedirs(locf_src)
-        halves = (
-            F.col("ts").cast("timestamp").cast("long") <= F.lit(mid_s),
-            F.col("ts").cast("timestamp").cast("long") > F.lit(mid_s),
-        )
-        for i, pred in enumerate(halves):
-            d = f"{tmp}/locf_half_{i}"
-            ev.filter(pred).coalesce(1).write.parquet(d)
-            part = next(e for e in sorted(os.listdir(d))
-                        if e.endswith(".parquet"))
-            dst = f"{locf_src}/{i:04d}.parquet"
-            shutil.copy(f"{d}/{part}", dst)
-            os.utime(dst, (now + 60 * i, now + 60 * i))  # batch order
-        locf_in = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(locf_src)
-            # NTZ → timestamp is a pure reinterpretation (UTC session)
-            .withColumn("ts", F.col("ts").cast("timestamp"))
-            .withColumn(
-                "v",
-                F.when(F.col("event_id") % 7 == 0,
-                       F.lit(None).cast("double"))
-                .otherwise(F.col("value")),
+            name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+            q = (
+                sess.writeStream.format("memory").queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", f"{tmp}/session")
+                .trigger(availableNow=True)
+                .start()
             )
-            .select("event_type", "ts", "v", "event_id")
-        )
-        locf = stateful_locf_stream(
-            locf_in, value_col="v", key="event_type", ts_col="ts",
-            tiebreak="event_id",
-        ).select(
-            F.lit("locf_state").alias("probe"),
-            "event_type",
-            "event_id",
-            F.col("ts").cast("long").alias("ts_epoch"),
-            F.col("v").alias("val_locf"),
-            F.col("filled").cast("long").alias("filled_int"),
-            "gap_seconds",
-        )
-        name = f"stream_locf_{uuid.uuid4().hex[:8]}"
-        q = (
-            locf.writeStream.format("memory").queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", f"{tmp}/locf")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        t = spark.table(name)
-        frames.append(spark.createDataFrame(t.collect(), t.schema))
-        spark.catalog.dropTempView(name)
+            q.awaitTermination()
+            t = spark.table(name)
+            out = spark.createDataFrame(t.collect(), t.schema).filter(
+                "user_id >= 0"  # belt-and-braces sentinel drop (batch)
+            )
+            spark.catalog.dropTempView(name)
+            return out
 
+        def _run_locf():
+            # ---- locf_state probe: applyInPandasWithState under the hash gate
+            # (r6 — the last streaming surface verified only by pytest). The
+            # source is split into TWO ts-ordered micro-batches at the floored-
+            # second midpoint, so the per-key (last_value, last_ts) state
+            # genuinely crosses a batch boundary and the cross-boundary
+            # gap_seconds comes from the STATE STORE, not from a window over
+            # one batch. Value nulls are derived deterministically
+            # (event_id % 7 = 0); LOCF copies parquet doubles bit-identically;
+            # both engines floor timestamps to whole epoch seconds BEFORE
+            # differencing and order ties by (exact event time, event_id).
+            from ingestr_spark.streaming.jobs import stateful_locf_stream
+
+            ev = spark.read.parquet(path)
+            mn_s, mx_s = ev.agg(
+                F.min(F.col("ts").cast("timestamp").cast("long")),
+                F.max(F.col("ts").cast("timestamp").cast("long")),
+            ).collect()[0]
+            mid_s = (mn_s + mx_s) // 2
+            locf_src = f"{tmp}/events_locf_src"
+            os.makedirs(locf_src)
+            import time as _time
+
+            now = _time.time()
+            halves = (
+                F.col("ts").cast("timestamp").cast("long") <= F.lit(mid_s),
+                F.col("ts").cast("timestamp").cast("long") > F.lit(mid_s),
+            )
+            for i, pred in enumerate(halves):
+                d = f"{tmp}/locf_half_{i}"
+                ev.filter(pred).coalesce(1).write.parquet(d)
+                part = next(e for e in sorted(os.listdir(d))
+                            if e.endswith(".parquet"))
+                dst = f"{locf_src}/{i:04d}.parquet"
+                shutil.copy(f"{d}/{part}", dst)
+                os.utime(dst, (now + 60 * i, now + 60 * i))  # batch order
+            locf_in = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(locf_src)
+                # NTZ → timestamp is a pure reinterpretation (UTC session)
+                .withColumn("ts", F.col("ts").cast("timestamp"))
+                .withColumn(
+                    "v",
+                    F.when(F.col("event_id") % 7 == 0,
+                           F.lit(None).cast("double"))
+                    .otherwise(F.col("value")),
+                )
+                .select("event_type", "ts", "v", "event_id")
+            )
+            locf = stateful_locf_stream(
+                locf_in, value_col="v", key="event_type", ts_col="ts",
+                tiebreak="event_id",
+            ).select(
+                F.lit("locf_state").alias("probe"),
+                "event_type",
+                "event_id",
+                F.col("ts").cast("long").alias("ts_epoch"),
+                F.col("v").alias("val_locf"),
+                F.col("filled").cast("long").alias("filled_int"),
+                "gap_seconds",
+            )
+            name = f"stream_locf_{uuid.uuid4().hex[:8]}"
+            q = (
+                locf.writeStream.format("memory").queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", f"{tmp}/locf")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            t = spark.table(name)
+            out = spark.createDataFrame(t.collect(), t.schema)
+            spark.catalog.dropTempView(name)
+            return out
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futs = [
+                pool.submit(_run_window, "tumbling", ("1 hour",)),
+                pool.submit(_run_window, "sliding", ("1 hour", "30 minutes")),
+                pool.submit(_run_session),
+                pool.submit(_run_locf),
+            ]
+            frames = [f.result() for f in futs]
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f, allowMissingColumns=True)

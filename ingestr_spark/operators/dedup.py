@@ -435,7 +435,10 @@ def cluster_representatives(
     while still changing, a RuntimeError is raised rather than silently
     returning split components. Each round is two joins + one aggregate, the
     standard large-scale connected-components shape (Pregel-style); lineage
-    is cut per round with localCheckpoint so the plan stays flat.
+    is cut per round with a LAZY localCheckpoint (r7): the round's rep-sum
+    action both materializes the checkpoint and computes the scalar in ONE
+    job, where the eager form paid a separate materialization job per round
+    (same rows, half the driver round-trips).
     Returns (id, rep)."""
     labels = ids.select(F.col(id_col).alias("id")).distinct().withColumn(
         "rep", F.col("id")
@@ -446,7 +449,7 @@ def cluster_representatives(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("rep")).collect()[0][0]
     converged = False
@@ -472,7 +475,7 @@ def cluster_representatives(
                     F.coalesce("_jrep", "rep"),
                 ).alias("rep"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("rep")).collect()[0][0]
         if cur_sum == prev_sum:

@@ -205,6 +205,13 @@ class AggregateStore:
         healing writer racing another recorder cannot regress the recorded
         version (job ids are single-commit by contract; this guard makes the
         higher-version-wins semantics true rather than last-writer-wins).
+        The read-check-then-replace pair is NOT atomic (ADVICE r6): two
+        racing healers can interleave (A reads no record, B writes v7, A
+        replaces with v3), so higher-version-wins is best-effort under
+        concurrent healing — safe because every competing writer for one
+        job id writes the SAME version on the non-heal path (single-commit
+        contract), and heals only ever rebuild a record the snapshot scan
+        already witnessed.
         ``committed_at`` preserves the ORIGINAL commit time when a heal
         rebuilds a record after the fact."""
         self._check_job_id(job_id)
