@@ -601,22 +601,29 @@ def embedding_near_dup_lsh(
             return empty
         ids = pdf["id"].to_numpy()
         qm = np.array(pdf["q"].tolist(), dtype=np.int64)
-        dots = qm @ qm.T  # exact: |dot| <= dim·(scaled q)² << 2^63
-        # same operand order as _pair_cosine: double(dot) / sqrt(dl·dr)
-        denom = np.sqrt(
-            np.outer(
-                pdf["nrm"].to_numpy(dtype=np.float64),
-                pdf["nrm"].to_numpy(dtype=np.float64),
-            )
-        )
-        cos = dots.astype(np.float64) / denom
-        mask = (cos >= threshold) & (ids[:, None] < ids[None, :])
-        li, ri = np.nonzero(mask)
-        if not len(li):
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+        # row-blocked GEMM: bounds kernel memory at block×n cells even for
+        # an uncapped large bucket (the all-at-once n×n matrix would be the
+        # only unbounded allocation on this path); block size keeps each
+        # slab a few MB while staying fully vectorized
+        block = 4096
+        outs = []
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            dots = qm[lo:hi] @ qm.T  # exact: |dot| <= dim·(scaled q)² << 2^63
+            # same operand order as _pair_cosine: double(dot) / sqrt(dl·dr)
+            denom = np.sqrt(np.outer(nrm[lo:hi], nrm))
+            cos = dots.astype(np.float64) / denom
+            mask = (cos >= threshold) & (ids[lo:hi, None] < ids[None, :])
+            li, ri = np.nonzero(mask)
+            if len(li):
+                outs.append(pd.DataFrame(
+                    {"id_a": ids[lo + li], "id_b": ids[ri],
+                     "cosine": cos[li, ri]}
+                ))
+        if not outs:
             return empty
-        return pd.DataFrame(
-            {"id_a": ids[li], "id_b": ids[ri], "cosine": cos[li, ri]}
-        )
+        return pd.concat(outs, ignore_index=True)
 
     scored = banded.groupBy("band", "val").applyInPandas(
         bucket_gemm, pair_schema
