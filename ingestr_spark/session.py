@@ -89,6 +89,23 @@ def _prewarm(spark: SparkSession) -> None:
     )
     out.unionByName(out).write.format("noop").mode("overwrite").save()
 
+    # parquet reader/writer class graph (vectorized reader, codecs, file
+    # committer): one tiny self-generated round-trip under a throwaway tmp
+    # dir — no external data is read, nothing persists past the prewarm
+    import shutil
+    import tempfile
+
+    pq_dir = tempfile.mkdtemp(prefix="ingestr_prewarm_pq_")
+    try:
+        spark.range(0, 512, 1, 2).selectExpr(
+            "id", "CAST(id AS DOUBLE) AS v", "CAST(id % 5 AS STRING) AS k"
+        ).write.mode("overwrite").parquet(pq_dir)
+        spark.read.parquet(pq_dir).filter("id % 3 = 0").groupBy("k").agg(
+            F.sum("v").alias("s")
+        ).write.format("noop").mode("overwrite").save()
+    finally:
+        shutil.rmtree(pq_dir, ignore_errors=True)
+
     def _mp(it):
         import numpy as np  # noqa: F401  (pay the worker-side import here)
 
