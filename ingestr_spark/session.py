@@ -166,7 +166,13 @@ def get_spark(
         app_id = spark.sparkContext.applicationId
         if app_id not in _PREWARMED:
             _PREWARMED.add(app_id)
-            _prewarm(spark)
+            try:
+                _prewarm(spark)
+            except Exception:
+                # warmup is an optimization, never a dependency: a session
+                # that cannot run the warmup jobs (exotic deployment, tmp
+                # dir restrictions) must still come up and run real queries
+                pass
     return spark
 
 
