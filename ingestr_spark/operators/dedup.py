@@ -499,6 +499,7 @@ def embedding_near_dup_lsh(
     bands: int = 8,
     max_bucket_rows: int | None = None,
     dim: int | None = None,
+    gemm_block: int = 4096,
 ) -> DataFrame:
     """Sub-quadratic near-duplicate pairs over PRE-QUANTIZED bigint vectors:
     sign-sketch LSH banding + exact integer rescoring.
@@ -602,11 +603,12 @@ def embedding_near_dup_lsh(
         ids = pdf["id"].to_numpy()
         qm = np.array(pdf["q"].tolist(), dtype=np.int64)
         nrm = pdf["nrm"].to_numpy(dtype=np.float64)
-        # row-blocked GEMM: bounds kernel memory at block×n cells even for
-        # an uncapped large bucket (the all-at-once n×n matrix would be the
-        # only unbounded allocation on this path); block size keeps each
-        # slab a few MB while staying fully vectorized
-        block = 4096
+        # row-blocked GEMM: bounds kernel memory at gemm_block×n cells even
+        # for an uncapped large bucket (the all-at-once n×n matrix would be
+        # the only unbounded allocation on this path); the default keeps
+        # each slab a few MB while staying fully vectorized (block-boundary
+        # equivalence is pytest-pinned with a tiny block)
+        block = gemm_block
         outs = []
         for lo in range(0, n, block):
             hi = min(lo + block, n)

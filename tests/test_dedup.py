@@ -154,6 +154,23 @@ def test_embedding_near_dup_lsh_bucket_cap_equivalence(spark, sf_dir):
     assert a == b
 
 
+def test_embedding_near_dup_lsh_gemm_block_equivalence(spark, sf_dir):
+    """r7: the bucket rescore runs as a row-BLOCKED GEMM (memory bound at
+    gemm_block×bucket cells). Rows, pair order inside buckets, and the
+    float cosines must be invariant to the block size — a tiny block forces
+    many block boundaries inside every fixture bucket, which the default
+    4096 never exercises at test scale."""
+    from ingestr_spark.datagen import neardup_embeddings
+    from ingestr_spark.operators.dedup import embedding_near_dup_lsh
+
+    nde = neardup_embeddings(spark, sf_dir)
+    plain = embedding_near_dup_lsh(nde, threshold=0.95)
+    tiny = embedding_near_dup_lsh(nde, threshold=0.95, gemm_block=3)
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, tiny.collect()))
+    assert a == b and len(a) > 0  # incl. bit-identical cosine doubles
+
+
 def test_embedding_near_dup_blocked_matches_all_block_counts(spark, sf_dir):
     """The blocked exact join is block-count-invariant (same pairs for any
     n_blocks) — the partitioning knob must never change results."""
